@@ -1,0 +1,16 @@
+"""isaacgymenvs_tpu — a TPU-native vectorized robotics-RL framework.
+
+Brand-new JAX/XLA implementation with the capabilities of
+RPL-CS-UCL/IsaacGymEnvs: batched articulated rigid-body physics stepped
+under jit, task environments, domain randomization, terrain curriculum,
+PPO/SAC/AMP learning, multi-chip sharding.
+"""
+
+__version__ = "0.1.0"
+
+
+def make(*args, **kwargs):
+    """Public factory mirroring `isaacgymenvs.make` (reference
+    __init__.py:14-55). Lazy import to keep `import isaacgymenvs_tpu` light."""
+    from .api import make as _make
+    return _make(*args, **kwargs)

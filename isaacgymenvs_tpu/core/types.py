@@ -1,0 +1,254 @@
+"""Core datatypes of the TPU physics engine.
+
+Design (TPU-first, not a port):
+
+* ``ArticulationModel`` — the *static* scene description: kinematic tree
+  structure, joint types/addresses, geoms, actuators, names. Stored as
+  **numpy** arrays; it is traced once at jit time (the analogue of the
+  reference's host-side C++ scene construction, `vec_task.py:216-217`)
+  and its values become compile-time constants.
+
+* ``PhysParams`` — the *physical parameters* (masses, inertias, damping,
+  gears, friction, PD gains…). A jax pytree, broadcastable to a leading
+  env axis, so domain randomization (reference `vec_task.py:496-768`,
+  which loops envs on the host) becomes: resample these arrays per env
+  on-device under jit.
+
+* ``ArtState`` — generalized coordinates ``(q, qd)`` per articulation,
+  env-batched. The whole simulator state is a pytree of jax arrays: the
+  reference's acquire/refresh/set tensor API (`vec_task.py:254-277`)
+  disappears by construction.
+
+A *scene* is one ArticulationModel that may contain several kinematic
+trees ("forest"): multiple actors per env (e.g. hand + object) merge into
+one model with block-diagonal mass matrix — one batched solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+
+# Joint types (per joint primitive; a body may carry several joints)
+FREE = 0    # 7 q (pos3 + quat wxyz), 6 v (lin world, ang world)
+BALL = 1    # 4 q (quat wxyz), 3 v (ang world-ish local) — phase 2
+HINGE = 2   # 1 q (angle), 1 v
+SLIDE = 3   # 1 q (offset), 1 v
+
+JOINT_NQ = {FREE: 7, BALL: 4, HINGE: 1, SLIDE: 1}
+JOINT_NV = {FREE: 6, BALL: 3, HINGE: 1, SLIDE: 1}
+
+# Geom types
+GEOM_PLANE = 0
+GEOM_SPHERE = 1
+GEOM_CAPSULE = 2
+GEOM_BOX = 3
+GEOM_CYLINDER = 4
+GEOM_HFIELD = 5
+GEOM_MESH = 6  # collision via primitive approximation (phase 2)
+
+# Actuator transmission types
+ACT_MOTOR = 0      # tau = gear * ctrl
+ACT_POSITION = 1   # tau = kp (ctrl - q) - kd qd  (gains in PhysParams)
+ACT_VELOCITY = 2   # tau = kv (ctrl - qd)
+
+
+@dataclasses.dataclass(frozen=True)
+class ArticulationModel:
+    """Static articulation/scene description (numpy; hashable by identity).
+
+    Replaces the reference's `gym.load_asset` + `create_actor` product
+    (`tasks/ant.py:154-197`): parsed once from MJCF/URDF, then traced as
+    compile-time structure.
+    """
+
+    name: str
+
+    # --- body tree (index 0..nbody-1; parent -1 = world: a tree root) ---
+    body_parent: np.ndarray       # (nb,) int32
+    body_pos: np.ndarray          # (nb,3) frame offset in parent frame
+    body_quat: np.ndarray         # (nb,4) wxyz
+    body_mass: np.ndarray         # (nb,)
+    body_com: np.ndarray          # (nb,3) COM in body frame
+    body_inertia: np.ndarray      # (nb,3,3) about COM, body frame
+    body_names: tuple
+
+    # --- joints (in tree order; multiple per body allowed) ---
+    jnt_body: np.ndarray          # (nj,) body carrying this joint
+    jnt_type: np.ndarray          # (nj,) FREE/BALL/HINGE/SLIDE
+    jnt_axis: np.ndarray          # (nj,3) in body frame
+    jnt_pos: np.ndarray           # (nj,3) anchor in body frame
+    jnt_qadr: np.ndarray          # (nj,) start index into q
+    jnt_vadr: np.ndarray          # (nj,) start index into qd
+    jnt_range: np.ndarray         # (nj,2)
+    jnt_limited: np.ndarray       # (nj,) bool
+    jnt_names: tuple
+
+    # --- dof-level (nv) defaults (runtime copies live in PhysParams) ---
+    dof_armature: np.ndarray      # (nv,)
+    dof_damping: np.ndarray       # (nv,)
+    dof_stiffness: np.ndarray     # (nv,) joint spring to springref (=0)
+    dof_frictionloss: np.ndarray  # (nv,)
+    dof_jnt: np.ndarray           # (nv,) joint owning each dof
+
+    # --- actuators ---
+    act_jnt: np.ndarray           # (nu,) target joint index
+    act_trntype: np.ndarray       # (nu,) ACT_*
+    act_gear: np.ndarray          # (nu,)
+    act_ctrlrange: np.ndarray     # (nu,2)
+    act_forcerange: np.ndarray    # (nu,2)
+    act_kp: np.ndarray            # (nu,) position-servo gains
+    act_kd: np.ndarray            # (nu,)
+    act_names: tuple
+
+    # --- geoms (collision) ---
+    geom_body: np.ndarray         # (ng,) owning body (-1 = world/static)
+    geom_type: np.ndarray         # (ng,)
+    geom_size: np.ndarray         # (ng,3) type-specific (see io docs)
+    geom_pos: np.ndarray          # (ng,3) in body frame
+    geom_quat: np.ndarray         # (ng,4)
+    geom_friction: np.ndarray     # (ng,3) slide/torsion/roll
+    geom_contype: np.ndarray      # (ng,) collision filters
+    geom_conaffinity: np.ndarray  # (ng,)
+    geom_names: tuple
+
+    # --- defaults ---
+    init_qpos: np.ndarray         # (nq,)
+
+    @property
+    def nbody(self) -> int:
+        return len(self.body_parent)
+
+    @property
+    def njnt(self) -> int:
+        return len(self.jnt_type)
+
+    @property
+    def nq(self) -> int:
+        return int(self.jnt_qadr[-1] + JOINT_NQ[int(self.jnt_type[-1])]) if self.njnt else 0
+
+    @property
+    def nv(self) -> int:
+        return int(self.jnt_vadr[-1] + JOINT_NV[int(self.jnt_type[-1])]) if self.njnt else 0
+
+    @property
+    def nu(self) -> int:
+        return len(self.act_jnt)
+
+    @property
+    def ngeom(self) -> int:
+        return len(self.geom_type)
+
+    # hashable-by-identity so it can be a static arg to jit
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def body_index(self, name: str) -> int:
+        return self.body_names.index(name)
+
+    def jnt_index(self, name: str) -> int:
+        return self.jnt_names.index(name)
+
+    def geom_index(self, name: str) -> int:
+        return self.geom_names.index(name)
+
+    def default_phys_params(self) -> "PhysParams":
+        import jax.numpy as jnp
+        return PhysParams(
+            body_mass=jnp.asarray(self.body_mass),
+            body_com=jnp.asarray(self.body_com),
+            body_inertia=jnp.asarray(self.body_inertia),
+            dof_armature=jnp.asarray(self.dof_armature),
+            dof_damping=jnp.asarray(self.dof_damping),
+            dof_stiffness=jnp.asarray(self.dof_stiffness),
+            dof_frictionloss=jnp.asarray(self.dof_frictionloss),
+            act_gear=jnp.asarray(self.act_gear),
+            act_kp=jnp.asarray(self.act_kp),
+            act_kd=jnp.asarray(self.act_kd),
+            geom_friction=jnp.asarray(self.geom_friction[:, 0]),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PhysParams:
+    """Runtime physical parameters — a pytree; every leaf may carry a
+    leading env axis for per-env domain randomization."""
+
+    body_mass: Any
+    body_com: Any
+    body_inertia: Any
+    dof_armature: Any
+    dof_damping: Any
+    dof_stiffness: Any
+    dof_frictionloss: Any
+    act_gear: Any
+    act_kp: Any
+    act_kd: Any
+    geom_friction: Any  # (ng,) sliding friction coefficient
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Solver configuration. Static fields only (hashed into the jit
+    cache) — the analogue of `VecTask.__parse_sim_params`
+    (`vec_task.py:442-490`)."""
+
+    dt: float = 1.0 / 60.0
+    substeps: int = 2
+    gravity: tuple = (0.0, 0.0, -9.81)
+    # impulse (LCP) solver — the default, PhysX-equivalent path
+    solver: str = "impulse"              # "impulse" | "compliant"
+    solver_iterations: int = 16          # maps PhysX num_velocity_iterations
+    contact_beta: float = 0.2            # Baumgarte stabilization factor
+    max_depenetration_velocity: float = 100.0
+    # compliant (penalty) fallback — soft contacts, fully differentiable
+    contact_stiffness: float = 1.0e4
+    contact_damping_ratio: float = 1.0   # critical damping multiplier
+    friction_regularization: float = 0.1  # m/s slip velocity scale
+    # joint limits (penalty; only used by the compliant path)
+    limit_stiffness: float = 2000.0
+    limit_damping_ratio: float = 1.0
+
+    def __hash__(self):
+        return hash((self.dt, self.substeps, self.gravity, self.solver,
+                     self.solver_iterations, self.contact_beta,
+                     self.max_depenetration_velocity, self.contact_stiffness,
+                     self.contact_damping_ratio, self.friction_regularization,
+                     self.limit_stiffness, self.limit_damping_ratio))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ArtState:
+    """Generalized state of one articulation model, env-batched:
+    q: (..., nq), qd: (..., nv)."""
+
+    q: Any
+    qd: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Kinematics:
+    """Forward-kinematics products for one step (world frame).
+
+    Replaces the reference's refresh_*_tensor views
+    (`tasks/ant.py:78-100`): body poses/velocities are plain arrays
+    computed inside the jitted step.
+    """
+
+    body_pos: Any    # (..., nb, 3) body frame origin, world
+    body_quat: Any   # (..., nb, 4)
+    body_vel: Any    # (..., nb, 6) spatial [ω; v_origin] about world origin
+    com: Any         # (..., nb, 3) body COM, world
+    # per-dof motion subspace about world origin, and its time derivative
+    dof_S: Any       # (..., nv, 6)
+    dof_Sdot: Any    # (..., nv, 6)

@@ -1,0 +1,198 @@
+"""Impulse-level velocity constraint solver (contacts + joint limits).
+
+TPU-native replacement for PhysX's PGS/TGS rigid-contact solver
+(reference sim params `vec_task.py:442-490`: solver_type, num_position/
+velocity_iterations). Design rationale:
+
+* Constraint set is STATIC (fixed candidate contacts + limit rows) —
+  inactive rows are masked, shapes never change, XLA compiles once.
+* The Delassus operator A = J M⁻¹ Jᵀ is built with dense batched
+  matmuls (lands on the MXU when vmapped over thousands of envs).
+* The LCP  0 ≤ λ ⟂ Aλ + b ≥ 0  (+ pyramidal friction box coupled to
+  normal impulses, matching the reference assets' cone="pyramidal") is
+  solved with PROJECTED GRADIENT iterations: per iteration one (nr,nr)
+  matvec + elementwise projection — fully parallel across envs, no
+  sequential per-contact sweep like PGS (which would serialize poorly
+  on TPU vector units).
+* Unconditionally stable at any mass ratio (unlike penalty springs);
+  Baumgarte bias handles depenetration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import types as T
+from .collide import ContactSet
+from .dynamics import dof_structure
+
+
+@functools.lru_cache(maxsize=None)
+def _dof_body_mask(model: T.ArticulationModel) -> np.ndarray:
+    """(nv, nb) 1.0 where dof k is in the ancestor chain of body b."""
+    _, anc, last_dof = dof_structure(model)
+    nv, nb = model.nv, model.nbody
+    D = np.zeros((nv, nb), dtype=np.float32)
+    for b in range(nb):
+        ld = last_dof[b]
+        if ld >= 0:
+            D[:, b] = anc[:, ld]
+    return D
+
+
+@functools.lru_cache(maxsize=None)
+def _limit_rows(model: T.ArticulationModel):
+    """Static limit-row metadata: (dof_idx, sign, bound) per row.
+
+    Two rows per limited 1-dof joint: lower (+qd ≥ bias) and upper
+    (−qd ≥ bias)."""
+    dofs, signs, bounds = [], [], []
+    for ji in range(model.njnt):
+        if not model.jnt_limited[ji]:
+            continue
+        if int(model.jnt_type[ji]) not in (T.HINGE, T.SLIDE):
+            continue
+        va = int(model.jnt_vadr[ji])
+        lo, hi = float(model.jnt_range[ji][0]), float(model.jnt_range[ji][1])
+        dofs += [va, va]
+        signs += [1.0, -1.0]
+        bounds += [lo, hi]
+    return (np.asarray(dofs, np.int32), np.asarray(signs, np.float32),
+            np.asarray(bounds, np.float32))
+
+
+def _qpos_1dof(model, q):
+    """(njnt,) q value of each 1-dof joint (0 for free/ball) — traced."""
+    vals = []
+    for ji in range(model.njnt):
+        if int(model.jnt_type[ji]) in (T.HINGE, T.SLIDE):
+            vals.append(q[int(model.jnt_qadr[ji])])
+        else:
+            vals.append(jnp.zeros((), q.dtype))
+    return jnp.stack(vals)
+
+
+def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
+                      sim: T.SimParams, kin, contacts: ContactSet,
+                      q, qd_free, L_chol, h, height_fn=None):
+    """One velocity-level constraint solve.
+
+    qd_free: unconstrained post-step velocity (after forces, before
+    impulses). L_chol: cholesky factor of M. Returns
+    (qd_new, body_contact_force (nb,3) equivalent forces)."""
+    from ..core.maths import quat_rotate
+
+    nv, nb = model.nv, model.nbody
+    dtype = qd_free.dtype
+    nc = contacts.count
+    lim_dof, lim_sign, lim_bound = _limit_rows(model)
+    nl = len(lim_dof)
+    if nc == 0 and nl == 0:
+        return qd_free, jnp.zeros((nb, 3), dtype)
+
+    S = kin.dof_S                                   # (nv,6)
+    rows_J = []
+    rows_b = []
+
+    # ---- contact rows: [normals | tangent1 | tangent2] -------------------
+    if nc:
+        b_idx = jnp.asarray(contacts.body)
+        off = jnp.asarray(contacts.offset, dtype)
+        rad = jnp.asarray(contacts.radius, dtype)
+        p = kin.body_pos[b_idx] + quat_rotate(kin.body_quat[b_idx], off)
+
+        if height_fn is None:
+            ground_h = jnp.zeros((nc,), dtype)
+            n = jnp.zeros((nc, 3), dtype).at[:, 2].set(1.0)
+        else:
+            ground_h, n = height_fn(p[:, 0], p[:, 1])
+        depth = rad + ground_h - p[:, 2]
+        cpt = p - n * rad[:, None]
+
+        # tangent frame (robust for near-vertical normals)
+        ex = jnp.zeros((nc, 3), dtype).at[:, 0].set(1.0)
+        t1 = jnp.cross(n, ex)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-6)
+        t2 = jnp.cross(n, t1)
+
+        # per-dof point-velocity contribution: (nv, nc, 3)
+        v_dof = S[:, None, 3:] + jnp.cross(
+            jnp.broadcast_to(S[:, None, :3], (nv, nc, 3)),
+            jnp.broadcast_to(cpt[None, :, :], (nv, nc, 3)))
+        D = jnp.asarray(_dof_body_mask(model))[:, np.asarray(contacts.body)]
+        v_dof = v_dof * D[:, :, None]
+
+        Jn = jnp.einsum("vci,ci->cv", v_dof, n)      # (nc,nv)
+        Jt1 = jnp.einsum("vci,ci->cv", v_dof, t1)
+        Jt2 = jnp.einsum("vci,ci->cv", v_dof, t2)
+
+        active = depth > 0.0
+        bias = -jnp.clip(sim.contact_beta * depth / h, 0.0,
+                         sim.max_depenetration_velocity)
+        bn = Jn @ qd_free + jnp.where(active, bias, 0.0)
+        rows_J += [Jn, Jt1, Jt2]
+        rows_b += [bn, Jt1 @ qd_free, Jt2 @ qd_free]
+
+    # ---- joint-limit rows -------------------------------------------------
+    if nl:
+        qj = _qpos_1dof(model, q)
+        jnt_of_dof = model.dof_jnt[np.asarray(lim_dof)]
+        qv = qj[jnp.asarray(jnt_of_dof)]
+        sign = jnp.asarray(lim_sign)
+        bound = jnp.asarray(lim_bound)
+        viol = sign * (qv - bound)                  # ≤ 0 when violating
+        Jl = jnp.zeros((nl, nv), dtype)
+        Jl = Jl.at[jnp.arange(nl), jnp.asarray(lim_dof)].set(sign)
+        lim_active = viol < 0.0
+        bias_l = jnp.clip(sim.contact_beta * viol / h,
+                          -sim.max_depenetration_velocity, 0.0)
+        bl = Jl @ qd_free + jnp.where(lim_active, bias_l, 0.0)
+        rows_J.append(Jl)
+        rows_b.append(bl)
+
+    J = jnp.concatenate(rows_J, axis=0)             # (nr,nv)
+    b = jnp.concatenate(rows_b, axis=0)
+
+    # Delassus A = J M⁻¹ Jᵀ via the cholesky factor — batched matmuls
+    MinvJT = jax.scipy.linalg.cho_solve((L_chol, True), J.T)   # (nv,nr)
+    A = J @ MinvJT                                  # (nr,nr)
+
+    # PGD step size: 1 / max row abs sum (Gershgorin bound on λ_max)
+    gamma = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
+
+    if nc:
+        mu = params.geom_friction.astype(dtype)[jnp.asarray(contacts.geom)]
+
+    def project(lam):
+        out = lam
+        if nc:
+            ln = jnp.where(active, jnp.maximum(lam[:nc], 0.0), 0.0)
+            lim_t = mu * ln
+            lt1 = jnp.clip(lam[nc:2 * nc], -lim_t, lim_t)
+            lt2 = jnp.clip(lam[2 * nc:3 * nc], -lim_t, lim_t)
+            out = out.at[:3 * nc].set(jnp.concatenate([ln, lt1, lt2]))
+        if nl:
+            ll = jnp.where(lim_active, jnp.maximum(lam[3 * nc:], 0.0), 0.0)
+            out = out.at[3 * nc:].set(ll)
+        return out
+
+    def body(i, lam):
+        return project(lam - gamma * (A @ lam + b))
+
+    lam = jax.lax.fori_loop(0, sim.solver_iterations, body,
+                            jnp.zeros(J.shape[0], dtype))
+
+    qd_new = qd_free + MinvJT @ lam
+
+    # equivalent contact forces for reporting (impulse/h), per body
+    if nc:
+        f_lin = (lam[:nc, None] * n + lam[nc:2 * nc, None] * t1
+                 + lam[2 * nc:3 * nc, None] * t2) / h
+        body_cf = jax.ops.segment_sum(f_lin, b_idx, num_segments=nb)
+    else:
+        body_cf = jnp.zeros((nb, 3), dtype)
+    return qd_new, body_cf

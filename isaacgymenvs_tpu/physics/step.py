@@ -1,0 +1,102 @@
+"""The simulator step: substeps scanned under jit, single env (vmap over envs).
+
+This is the TPU-native replacement for the reference's hot loop
+(`vec_task.py:332-339`: ``for i in range(control_freq_inv): gym.simulate``):
+one pure function ``(params, state, ctrl) → (state, info)`` whose substep
+loop is a `lax.scan`, traced once and fused by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core import types as T
+from .actuation import actuator_torque
+from .collide import ContactSet, build_ground_contacts, ground_contact_forces
+from .dynamics import crba, integrate_position, passive_forces, rnea_bias
+from .kinematics import forward_kinematics
+from .solver import solve_constraints
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepInfo:
+    """Post-step products (world frame) — replaces the reference's
+    refresh_*_tensor calls (`tasks/ant.py:281-290`)."""
+
+    kin: Any                 # Kinematics at final substep
+    body_contact_force: Any  # (nb,3) net contact force per body
+    qdd: Any                 # (nv,) last-substep acceleration
+    tau: Any                 # (nv,) applied generalized force (actuation+extra)
+
+
+def physics_step(model: T.ArticulationModel, sim: T.SimParams,
+                 params: T.PhysParams, state: T.ArtState,
+                 ctrl: jnp.ndarray | None = None,
+                 extra_tau: jnp.ndarray | None = None,
+                 extra_force: jnp.ndarray | None = None,
+                 contacts: ContactSet | None = None,
+                 height_fn: Callable | None = None,
+                 n_substeps: int | None = None,
+                 tau_fn: Callable | None = None) -> tuple:
+    """Advance one control step = ``substeps`` physics substeps.
+
+    ctrl: (nu,) actuator controls, held constant over substeps (reference
+      semantics: actions applied once per `step`, `vec_task.py:324-339`).
+    extra_tau: (nv,) additional generalized torque (env-level PD loops).
+    extra_force: (nb,6) additional spatial forces about world origin
+      (pushes, thrusters — replaces `apply_rigid_body_force_tensors`).
+    tau_fn: optional (q, qd) → (nv,) torque recomputed EVERY substep
+      (AnymalTerrain-style decimated PD, `anymal_terrain.py:441-449`).
+    """
+    if contacts is None:
+        contacts = build_ground_contacts(model)
+    nsub = n_substeps if n_substeps is not None else sim.substeps
+    h = sim.dt / nsub
+    gravity = sim.gravity
+
+    impulse = sim.solver == "impulse"
+
+    def substep(carry, _):
+        q, qd = carry
+        kin = forward_kinematics(model, params, q, qd)
+        if impulse:
+            f_ext, body_cf = extra_force, jnp.zeros((model.nbody, 3), q.dtype)
+        else:
+            f_ext, body_cf = ground_contact_forces(model, params, sim, kin,
+                                                   contacts, height_fn)
+            if extra_force is not None:
+                f_ext = f_ext + extra_force
+        tau = passive_forces(model, params, sim, q, qd,
+                             include_limits=not impulse)
+        if ctrl is not None and model.nu:
+            tau = tau + actuator_torque(model, params, ctrl, q, qd)
+        if extra_tau is not None:
+            tau = tau + extra_tau
+        if tau_fn is not None:
+            tau = tau + tau_fn(q, qd)
+        M = crba(model, params, kin)
+        C = rnea_bias(model, params, kin, qd, gravity, f_ext)
+        L = jnp.linalg.cholesky(M)
+        qdd = jax.scipy.linalg.cho_solve((L, True), tau - C)
+        qd_free = qd + h * qdd
+        if impulse:
+            qd_new, body_cf = solve_constraints(
+                model, params, sim, kin, contacts, q, qd_free, L, h,
+                height_fn)
+        else:
+            qd_new = qd_free
+        q_new = integrate_position(model, q, qd_new, h)
+        return (q_new, qd_new), (body_cf, (qd_new - qd) / h, tau)
+
+    (q, qd), (cfs, qdds, taus) = jax.lax.scan(
+        substep, (state.q, state.qd), None, length=nsub)
+
+    kin = forward_kinematics(model, params, q, qd)
+    info = StepInfo(kin=kin, body_contact_force=cfs[-1], qdd=qdds[-1],
+                    tau=taus[-1])
+    return T.ArtState(q=q, qd=qd), info

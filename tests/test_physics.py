@@ -1,0 +1,226 @@
+"""Physics-core invariant tests (the test strategy the reference lacks —
+SURVEY.md §4: analytic dynamics tests, contact sanity, jit/eager parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaacgymenvs_tpu.core import types as T
+from isaacgymenvs_tpu.io import load_mjcf, load_urdf
+from isaacgymenvs_tpu.physics import (crba, forward_kinematics, physics_step,
+                                      rnea_bias)
+
+ASSETS = "/root/reference/assets"
+
+
+def _single_body_model(mass=2.0, inertia=0.1):
+    """One free body, no geoms (no contacts)."""
+    return T.ArticulationModel(
+        name="ball",
+        body_parent=np.array([-1], np.int32),
+        body_pos=np.zeros((1, 3), np.float32),
+        body_quat=np.array([[1, 0, 0, 0]], np.float32),
+        body_mass=np.array([mass], np.float32),
+        body_com=np.zeros((1, 3), np.float32),
+        body_inertia=(np.eye(3) * inertia)[None].astype(np.float32),
+        body_names=("ball",),
+        jnt_body=np.array([0], np.int32),
+        jnt_type=np.array([T.FREE], np.int32),
+        jnt_axis=np.array([[0, 0, 1]], np.float32),
+        jnt_pos=np.zeros((1, 3), np.float32),
+        jnt_qadr=np.array([0], np.int32),
+        jnt_vadr=np.array([0], np.int32),
+        jnt_range=np.zeros((1, 2), np.float32),
+        jnt_limited=np.array([False]),
+        jnt_names=("free",),
+        dof_armature=np.zeros(6, np.float32),
+        dof_damping=np.zeros(6, np.float32),
+        dof_stiffness=np.zeros(6, np.float32),
+        dof_frictionloss=np.zeros(6, np.float32),
+        dof_jnt=np.zeros(6, np.int32),
+        act_jnt=np.zeros(0, np.int32),
+        act_trntype=np.zeros(0, np.int32),
+        act_gear=np.zeros(0, np.float32),
+        act_ctrlrange=np.zeros((0, 2), np.float32),
+        act_forcerange=np.zeros((0, 2), np.float32),
+        act_kp=np.zeros(0, np.float32),
+        act_kd=np.zeros(0, np.float32),
+        act_names=(),
+        geom_body=np.zeros(0, np.int32),
+        geom_type=np.zeros(0, np.int32),
+        geom_size=np.zeros((0, 3), np.float32),
+        geom_pos=np.zeros((0, 3), np.float32),
+        geom_quat=np.zeros((0, 4), np.float32),
+        geom_friction=np.zeros((0, 3), np.float32),
+        geom_contype=np.zeros(0, np.int32),
+        geom_conaffinity=np.zeros(0, np.int32),
+        geom_names=(),
+        init_qpos=np.array([0, 0, 5, 1, 0, 0, 0], np.float32),
+    )
+
+
+def _pendulum_model():
+    """Point mass on a massless rod, hinge about y at origin."""
+    return T.ArticulationModel(
+        name="pendulum",
+        body_parent=np.array([-1], np.int32),
+        body_pos=np.zeros((1, 3), np.float32),
+        body_quat=np.array([[1, 0, 0, 0]], np.float32),
+        body_mass=np.array([1.0], np.float32),
+        body_com=np.array([[0, 0, -1.0]], np.float32),  # 1m below hinge
+        body_inertia=(np.eye(3) * 1e-6)[None].astype(np.float32),
+        body_names=("bob",),
+        jnt_body=np.array([0], np.int32),
+        jnt_type=np.array([T.HINGE], np.int32),
+        jnt_axis=np.array([[0, 1, 0]], np.float32),
+        jnt_pos=np.zeros((1, 3), np.float32),
+        jnt_qadr=np.array([0], np.int32),
+        jnt_vadr=np.array([0], np.int32),
+        jnt_range=np.zeros((1, 2), np.float32),
+        jnt_limited=np.array([False]),
+        jnt_names=("hinge",),
+        dof_armature=np.zeros(1, np.float32),
+        dof_damping=np.zeros(1, np.float32),
+        dof_stiffness=np.zeros(1, np.float32),
+        dof_frictionloss=np.zeros(1, np.float32),
+        dof_jnt=np.zeros(1, np.int32),
+        act_jnt=np.zeros(0, np.int32),
+        act_trntype=np.zeros(0, np.int32),
+        act_gear=np.zeros(0, np.float32),
+        act_ctrlrange=np.zeros((0, 2), np.float32),
+        act_forcerange=np.zeros((0, 2), np.float32),
+        act_kp=np.zeros(0, np.float32),
+        act_kd=np.zeros(0, np.float32),
+        act_names=(),
+        geom_body=np.zeros(0, np.int32),
+        geom_type=np.zeros(0, np.int32),
+        geom_size=np.zeros((0, 3), np.float32),
+        geom_pos=np.zeros((0, 3), np.float32),
+        geom_quat=np.zeros((0, 4), np.float32),
+        geom_friction=np.zeros((0, 3), np.float32),
+        geom_contype=np.zeros(0, np.int32),
+        geom_conaffinity=np.zeros(0, np.int32),
+        geom_names=(),
+        init_qpos=np.zeros(1, np.float32),
+    )
+
+
+def test_free_fall():
+    model = _single_body_model()
+    sim = T.SimParams(dt=0.01, substeps=1)
+    params = model.default_phys_params()
+    state = T.ArtState(q=jnp.asarray(model.init_qpos), qd=jnp.zeros(6))
+    step = jax.jit(lambda s: physics_step(model, sim, params, s)[0])
+    for _ in range(100):
+        state = step(state)
+    # after 1s: z = 5 − ½g(1.005²-ish) — semi-implicit Euler: Σ g h² k
+    t = 1.0
+    expect_v = -9.81 * t
+    expect_z = 5.0 - 9.81 * 0.01 * 0.01 * (100 * 101 / 2)
+    np.testing.assert_allclose(float(state.qd[2]), expect_v, rtol=1e-4)
+    np.testing.assert_allclose(float(state.q[2]), expect_z, rtol=1e-4)
+    # no rotation, no lateral drift
+    assert abs(float(state.q[0])) < 1e-5 and abs(float(state.q[1])) < 1e-5
+    np.testing.assert_allclose(state.q[3:7], [1, 0, 0, 0], atol=1e-6)
+
+
+def test_pendulum_period_and_energy():
+    model = _pendulum_model()
+    sim = T.SimParams(dt=0.002, substeps=1)
+    params = model.default_phys_params()
+    theta0 = 0.3
+    state = T.ArtState(q=jnp.asarray([theta0]), qd=jnp.zeros(1))
+    step = jax.jit(lambda s: physics_step(model, sim, params, s)[0])
+
+    qs = []
+    for _ in range(2000):  # 4 s
+        state = step(state)
+        qs.append(float(state.q[0]))
+    qs = np.asarray(qs)
+    # small-angle period T = 2π√(L/g) ≈ 2.006 s → find zero crossings
+    sign_changes = np.where(np.diff(np.sign(qs)) != 0)[0]
+    assert len(sign_changes) >= 3
+    half_period = np.diff(sign_changes[:4]).mean() * 0.002
+    T_measured = 2 * half_period
+    T_expected = 2 * np.pi * np.sqrt(1.0 / 9.81)
+    # finite-amplitude correction (~+0.6% at 0.3 rad) + integrator error
+    np.testing.assert_allclose(T_measured, T_expected, rtol=0.03)
+    # energy drift bounded (semi-implicit is symplectic-ish)
+    E0 = 9.81 * (1 - np.cos(theta0))
+    E_end = 0.5 * float(state.qd[0]) ** 2 + 9.81 * (1 - np.cos(qs[-1]))
+    np.testing.assert_allclose(E_end, E0, rtol=0.05)
+
+
+def test_crba_symmetric_pd():
+    model = load_mjcf(f"{ASSETS}/mjcf/nv_ant.xml")
+    params = model.default_phys_params()
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(model.init_qpos).at[7:].add(
+        jnp.asarray(rng.uniform(-0.3, 0.3, 8).astype(np.float32)))
+    kin = forward_kinematics(model, params, q, jnp.zeros(model.nv))
+    M = np.asarray(crba(model, params, kin))
+    np.testing.assert_allclose(M, M.T, atol=1e-4)
+    w = np.linalg.eigvalsh(M)
+    assert (w > 0).all(), f"M not PD: eig {w}"
+
+
+def test_rnea_gravity_matches_weight():
+    # for a hanging pendulum at angle θ, gravity torque = m g L sin(θ)
+    model = _pendulum_model()
+    params = model.default_phys_params()
+    theta = 0.5
+    q = jnp.asarray([theta])
+    kin = forward_kinematics(model, params, q, jnp.zeros(1))
+    C = rnea_bias(model, params, kin, jnp.zeros(1), (0.0, 0.0, -9.81))
+    np.testing.assert_allclose(float(C[0]), 9.81 * np.sin(theta), rtol=1e-5)
+
+
+def test_ant_settles_on_ground():
+    model = load_mjcf(f"{ASSETS}/mjcf/nv_ant.xml")
+    sim = T.SimParams(dt=1 / 60, substeps=2)
+    params = model.default_phys_params()
+    state = T.ArtState(q=jnp.asarray(model.init_qpos), qd=jnp.zeros(model.nv))
+    step = jax.jit(lambda s: physics_step(model, sim, params, s,
+                                          ctrl=jnp.zeros(model.nu)))
+    for _ in range(240):
+        state, info = step(state)
+    assert not jnp.isnan(state.q).any()
+    # settled: small velocity, torso above ground, weight supported
+    assert float(jnp.abs(state.qd).max()) < 0.05
+    assert 0.2 < float(state.q[2]) < 0.6
+    weight = float(model.body_mass.sum()) * 9.81
+    fz = float(info.body_contact_force[:, 2].sum())
+    np.testing.assert_allclose(fz, weight, rtol=0.05)
+
+
+def test_joint_limits_hold():
+    model = load_urdf(f"{ASSETS}/urdf/cartpole.urdf", fix_base=True)
+    sim = T.SimParams(dt=1 / 60, substeps=2)
+    params = model.default_phys_params()
+    state = T.ArtState(q=jnp.zeros(2), qd=jnp.asarray([8.0, 0.0]))  # slam cart
+    step = jax.jit(lambda s: physics_step(model, sim, params, s)[0])
+    for _ in range(120):
+        state = step(state)
+    # slider limit is ±4; impulse solver must hold it (small tolerance)
+    assert float(state.q[0]) < 4.05
+
+
+def test_batched_vmap_step():
+    model = load_mjcf(f"{ASSETS}/mjcf/nv_ant.xml")
+    sim = T.SimParams(dt=1 / 60, substeps=2)
+    params = model.default_phys_params()
+    n = 8
+    q = jnp.tile(jnp.asarray(model.init_qpos), (n, 1))
+    qd = jnp.zeros((n, model.nv))
+    ctrl = jnp.linspace(-1, 1, n)[:, None] * jnp.ones((n, model.nu))
+    step = jax.jit(jax.vmap(
+        lambda s, c: physics_step(model, sim, params, s, ctrl=c)[0],
+        in_axes=(0, 0)))
+    state = T.ArtState(q=q, qd=qd)
+    for _ in range(30):
+        state = step(state, ctrl)
+    assert state.q.shape == (n, model.nq)
+    assert not jnp.isnan(state.q).any()
+    # different controls → different trajectories
+    assert float(jnp.abs(state.q[0] - state.q[-1]).max()) > 1e-3
