@@ -1,0 +1,18 @@
+"""Task registry — name → class map (reference `tasks/__init__.py:52-73`)."""
+
+
+def _lazy(module, cls):
+    def load(*a, **kw):
+        import importlib
+        m = importlib.import_module(f"isaacgymenvs_tpu.envs.{module}")
+        return getattr(m, cls)(*a, **kw)
+    load.__name__ = cls
+    return load
+
+
+isaacgym_task_map = {
+    "Cartpole": _lazy("cartpole", "Cartpole"),
+    "Ant": _lazy("ant", "Ant"),
+}
+
+from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

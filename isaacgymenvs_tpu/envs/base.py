@@ -1,0 +1,268 @@
+"""Vectorized-environment runtime — the TPU-native VecTask.
+
+Replaces the reference's `Env` ABC + `VecTask` (`tasks/base/vec_task.py:
+60-490`) with a *functional* design: an env is a pair of pure functions
+
+    reset(rng)              → (EnvState, obs)
+    step(EnvState, actions) → (EnvState, TimeStep)
+
+entirely jit-compatible. The reference's mutable buffers
+(`obs_buf/rew_buf/reset_buf/progress_buf/timeout_buf`, vec_task.py:254-277)
+become fields of the EnvState pytree; indexed resets (`reset_idx` +
+`set_*_tensor_indexed`) become masked `where`-updates of freshly sampled
+reset states — no host sync, ever.
+
+Step semantics preserve the reference's exact ordering
+(`vec_task.py:313-359` + task `post_physics_step`):
+  1. (DR action noise) → clamp actions → apply forces     (:324-330)
+  2. physics substeps                                      (:332-339)
+  3. progress += 1; envs flagged done LAST step are reset  (task files)
+  4. compute obs (post-reset) → compute reward + new done flags
+  5. timeout = (progress ≥ max_len−1) & done               (:345)
+  6. (DR obs noise) → clamp obs
+so `TimeStep.done` at step T means "this env finished at T and was
+freshly reset INSIDE this step's stage 3 of step T+1" — matching
+rl_games' value-bootstrap contract (`extras["time_outs"]`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import types as T
+from ..physics.collide import build_ground_contacts
+from ..physics.step import physics_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvState:
+    """Complete on-device state of all envs (a pytree)."""
+
+    art: T.ArtState          # (N, nq) / (N, nv)
+    progress: Any            # (N,) int32 — progress_buf
+    done: Any                # (N,) bool — reset_buf (reset next step)
+    rng: Any                 # (N, key) per-env RNG keys
+    params: Any              # PhysParams (leaves may be (N, ...) under DR)
+    aux: Dict[str, Any]      # task-specific batched fields
+    dr_count: Any            # (N,) int32 — randomize_buf equivalent
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TimeStep:
+    obs: Any                 # (N, num_obs)
+    reward: Any              # (N,)
+    done: Any                # (N,) bool
+    timeout: Any             # (N,) bool — extras["time_outs"]
+    info: Dict[str, Any]     # scalar/vector diagnostics (episode sums etc.)
+    states: Any = None       # (N, num_states) asymmetric-critic states
+
+
+class VecTask:
+    """Base class for all task environments.
+
+    Subclasses set: model (ArticulationModel), sim (SimParams), num_obs,
+    num_acts, max_episode_length, and implement the three task hooks
+    (all BATCHED, operating on (N, ...) arrays, mirroring the reference's
+    @torch.jit.script kernels at each task file's bottom):
+
+      _sample_reset(state, key)      → (q (N,nq), qd (N,nv), aux dict)
+      _observe(state, info)          → (obs (N, num_obs), aux_updates dict)
+      _reward_done(state, obs, actions, info) → (rew, done, task_info)
+
+    aux_updates from _observe are merged into state.aux BEFORE
+    _reward_done runs (the reference's compute_observations also updates
+    potentials consumed by compute_reward, `tasks/ant.py:236-244`).
+
+    plus optionally _pre_physics (custom force application) and
+    _randomize (DR hook).
+    """
+
+    model: T.ArticulationModel
+    sim: T.SimParams
+    num_obs: int
+    num_states: int = 0
+    num_acts: int = 0
+    max_episode_length: int = 1000
+    clip_obs: float = np.inf
+    clip_actions: float = np.inf
+    control_freq_inv: int = 1
+    height_fn = None  # terrain heightfield lookup
+    refresh_kin_on_reset: bool = False
+
+    def __init__(self, cfg: Optional[dict] = None, num_envs: int = 4096):
+        self.cfg = cfg or {}
+        self.num_envs = num_envs
+
+    # ------------------------------------------------------------------ api
+    @property
+    def observation_space(self):
+        return ("Box", (-self.clip_obs, self.clip_obs), (self.num_obs,))
+
+    @property
+    def action_space(self):
+        return ("Box", (-self.clip_actions, self.clip_actions),
+                (self.num_acts,))
+
+    @property
+    def state_space(self):
+        return ("Box", (-self.clip_obs, self.clip_obs), (self.num_states,))
+
+    def reset(self, rng) -> tuple:
+        """Build initial EnvState + first observations. Mirrors
+        `VecTask.reset` returning obs without stepping physics
+        (vec_task.py:377-389)."""
+        n = self.num_envs
+        keys = jax.random.split(rng, n + 1)
+        state = EnvState(
+            art=T.ArtState(
+                q=jnp.tile(jnp.asarray(self.model.init_qpos), (n, 1)),
+                qd=jnp.zeros((n, self.model.nv))),
+            progress=jnp.zeros(n, jnp.int32),
+            done=jnp.zeros(n, bool),
+            rng=keys[1:],
+            params=self._initial_params(keys[0]),
+            aux=self._initial_aux(),
+            dr_count=jnp.zeros(n, jnp.int32),
+        )
+        # sample proper reset states for all envs
+        reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(state.rng)
+        q, qd, aux_new = self._sample_reset(state, reset_keys)
+        state = dataclasses.replace(
+            state, art=T.ArtState(q=q, qd=qd),
+            aux={**state.aux, **aux_new})
+        info = self._fake_info(state)
+        obs, aux_up = self._observe(state, info)
+        state = dataclasses.replace(state, aux={**state.aux, **aux_up})
+        return state, jnp.clip(obs, -self.clip_obs, self.clip_obs)
+
+    def step(self, state: EnvState, actions) -> tuple:
+        """One control step for all envs — pure, jit this."""
+        n = self.num_envs
+        actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
+        if "actions" in state.aux:  # tasks exposing last actions in obs
+            state = dataclasses.replace(
+                state, aux={**state.aux, "actions": actions})
+
+        # --- stage 1-2: physics ------------------------------------------
+        new_art, info = self._physics(state, actions)
+
+        # --- stage 3: progress + masked auto-reset ------------------------
+        progress = state.progress + 1
+        rng = jax.vmap(lambda k: jax.random.fold_in(k, 1))(state.rng)
+        reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2))(state.rng)
+        mid_state = dataclasses.replace(state, art=new_art,
+                                        progress=progress, rng=rng)
+        q_r, qd_r, aux_r = self._sample_reset(mid_state, reset_keys)
+        d = state.done
+
+        def sel(new, old):
+            mask = d.reshape((n,) + (1,) * (old.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        art = T.ArtState(q=sel(q_r, new_art.q), qd=sel(qd_r, new_art.qd))
+        aux = dict(mid_state.aux)
+        for k, v in aux_r.items():
+            aux[k] = sel(v, aux[k])
+        progress = jnp.where(d, 0, progress)
+        state = dataclasses.replace(mid_state, art=art, progress=progress,
+                                    aux=aux, dr_count=state.dr_count + 1)
+
+        # optionally recompute kinematics for reset envs. Default OFF: the
+        # reference likewise computes post-reset obs from tensors refreshed
+        # before the reset writes landed (sensor staleness for 1 step).
+        if self.refresh_kin_on_reset:
+            info = self._refresh_info(state, info, d)
+
+        # --- stage 4: obs + reward ----------------------------------------
+        obs, aux_up = self._observe(state, info)
+        state = dataclasses.replace(state, aux={**state.aux, **aux_up})
+        reward, done, task_info = self._reward_done(state, obs, actions, info)
+
+        # --- stage 5: timeout (exact vec_task.py:345 semantics) ------------
+        timeout = (state.progress >= self.max_episode_length - 1) & done
+
+        state = dataclasses.replace(state, done=done)
+        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+        ts = TimeStep(obs=obs, reward=reward, done=done, timeout=timeout,
+                      info=task_info, states=self._states(state, info))
+        return state, ts
+
+    # ------------------------------------------------------------- plumbing
+    def _physics(self, state: EnvState, actions):
+        """Default physics: per-env vmap of physics_step with actuator ctrl.
+
+        Tasks with custom force application (thrusters, decimated PD
+        loops) override this."""
+        contacts = build_ground_contacts(self.model)
+        params_batched = self._params_batched()
+
+        def one(art, ctrl, params):
+            return physics_step(self.model, self.sim, params, art, ctrl=ctrl,
+                                contacts=contacts, height_fn=self.height_fn,
+                                n_substeps=self.sim.substeps
+                                * self.control_freq_inv)
+
+        in_axes = (0, 0, 0 if params_batched else None)
+        return jax.vmap(one, in_axes=in_axes)(state.art, actions,
+                                              state.params)
+
+    def _params_batched(self) -> bool:
+        return False  # overridden when DR batches PhysParams per env
+
+    def _initial_params(self, key):
+        return self.model.default_phys_params()
+
+    def _initial_aux(self) -> dict:
+        return {}
+
+    def _fake_info(self, state):
+        """Info for the first reset() observation: run FK only."""
+        from ..physics.kinematics import forward_kinematics
+        from ..physics.step import StepInfo
+        params = state.params
+        kin = jax.vmap(
+            lambda q, qd: forward_kinematics(self.model, params, q, qd)
+        )(state.art.q, state.art.qd)
+        nb = self.model.nbody
+        n = self.num_envs
+        z3 = jnp.zeros((n, nb, 3))
+        return StepInfo(kin=kin, body_contact_force=z3,
+                        body_contact_torque=z3,
+                        qdd=jnp.zeros((n, self.model.nv)),
+                        tau=jnp.zeros((n, self.model.nv)))
+
+    def _refresh_info(self, state, info, done_mask):
+        """Recompute kinematics where envs were reset (their info is stale)."""
+        from ..physics.kinematics import forward_kinematics
+        params = state.params
+        kin_new = jax.vmap(
+            lambda q, qd: forward_kinematics(self.model, params, q, qd)
+        )(state.art.q, state.art.qd)
+        m = done_mask
+
+        def sel(new, old):
+            mask = m.reshape((self.num_envs,) + (1,) * (old.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        kin = jax.tree_util.tree_map(sel, kin_new, info.kin)
+        return dataclasses.replace(info, kin=kin)
+
+    def _states(self, state, info):
+        return None
+
+    # ------------------------------------------------------------ task hooks
+    def _sample_reset(self, state: EnvState, keys):
+        raise NotImplementedError
+
+    def _observe(self, state: EnvState, info):
+        raise NotImplementedError
+
+    def _reward_done(self, state: EnvState, obs, actions, info):
+        raise NotImplementedError

@@ -1,0 +1,361 @@
+"""PPO with rl_games `a2c_continuous` semantics, whole-epoch-under-jit.
+
+Replicates (for return parity — SURVEY.md §7 key idioms):
+  * reward shaping ``scale_value``, obs/value running-mean-std
+    normalization, advantage normalization
+  * GAE with explicit next-values and termination masking
+    (`learning/common_agent.py:413-426`)
+  * value bootstrap on timeout using V(s_t)
+    (rl_games A2CBase.play_steps, `extras["time_outs"]` contract of
+    `vec_task.py:345`)
+  * clipped PG + clipped value loss (0.5·critic_coef), entropy, soft
+    action-bound loss at ±1.1 (`common_agent.py:427-435`)
+  * adaptive-KL learning rate, schedule_type "legacy" (per-minibatch
+    update) with bounds [1e-6, 1e-2]
+  * hyperparameters read from the same YAML keys (`cfg/train/*PPO.yaml`)
+
+TPU-first structure: one jit per epoch — rollout `lax.scan` over the
+horizon (env step fused inside), GAE reverse scan, minibatch SGD as a
+`lax.scan` over (mini_epochs × num_minibatches) with the adaptive LR in
+the carry. No host sync inside the epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .networks import ActorCritic
+from .running_stats import RunningMeanStd
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Static hyperparameters (hashable — part of the jit cache key).
+    Field names mirror rl_games config keys."""
+
+    horizon_length: int = 16
+    minibatch_size: int = 32768
+    mini_epochs: int = 4
+    gamma: float = 0.99
+    tau: float = 0.95           # GAE lambda
+    learning_rate: float = 3e-4
+    lr_schedule: str = "adaptive"
+    schedule_type: str = "legacy"
+    kl_threshold: float = 0.008
+    e_clip: float = 0.2
+    clip_value: bool = True
+    critic_coef: float = 2.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.0001
+    grad_norm: float = 1.0
+    truncate_grads: bool = False
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    value_bootstrap: bool = True
+    reward_shaper_scale: float = 0.01
+    max_epochs: int = 500
+    units: tuple = (256, 128, 64)
+    activation: str = "elu"
+    separate: bool = False
+    mixed_precision: bool = True   # bf16 trunk matmuls on TPU
+
+    @staticmethod
+    def from_rlgames(params: dict) -> "PPOConfig":
+        """Build from a reference-style train YAML `params` tree."""
+        cfg = params.get("config", {})
+        net = params.get("network", {})
+        mlp = net.get("mlp", {})
+        rs = cfg.get("reward_shaper", {})
+        return PPOConfig(
+            horizon_length=cfg.get("horizon_length", 16),
+            minibatch_size=cfg.get("minibatch_size", 32768),
+            mini_epochs=cfg.get("mini_epochs", 4),
+            gamma=cfg.get("gamma", 0.99),
+            tau=cfg.get("tau", 0.95),
+            learning_rate=float(cfg.get("learning_rate", 3e-4)),
+            lr_schedule=cfg.get("lr_schedule", "adaptive"),
+            schedule_type=cfg.get("schedule_type", "legacy"),
+            kl_threshold=float(cfg.get("kl_threshold", 0.008)),
+            e_clip=cfg.get("e_clip", 0.2),
+            clip_value=cfg.get("clip_value", True),
+            critic_coef=cfg.get("critic_coef", 2.0),
+            entropy_coef=cfg.get("entropy_coef", 0.0),
+            bounds_loss_coef=cfg.get("bounds_loss_coef", 0.0001) or 0.0,
+            grad_norm=cfg.get("grad_norm", 1.0),
+            truncate_grads=cfg.get("truncate_grads", False),
+            normalize_input=cfg.get("normalize_input", True),
+            normalize_value=cfg.get("normalize_value", True),
+            normalize_advantage=cfg.get("normalize_advantage", True),
+            value_bootstrap=cfg.get("value_bootstrap", False),
+            reward_shaper_scale=rs.get("scale_value", 1.0),
+            max_epochs=cfg.get("max_epochs", 500),
+            units=tuple(mlp.get("units", (256, 128, 64))),
+            activation=mlp.get("activation", "elu"),
+            separate=net.get("separate", False),
+            mixed_precision=cfg.get("mixed_precision", False),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrainState:
+    params: Any
+    opt_state: Any
+    lr: Any
+    obs_rms: RunningMeanStd
+    value_rms: RunningMeanStd
+    env_state: Any
+    obs: Any
+    key: Any
+    epoch: Any
+    # episode bookkeeping (on-device; RLGPUAlgoObserver equivalent)
+    cum_reward: Any     # (N,) raw-reward episode accumulator
+    cum_length: Any     # (N,)
+
+
+def _gauss_logp(mu, log_sigma, action):
+    v = jnp.exp(2 * log_sigma)
+    return jnp.sum(-0.5 * ((action - mu) ** 2) / v - log_sigma
+                   - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
+
+
+def _gauss_kl(mu_old, log_sig_old, mu_new, log_sig_new):
+    """rl_games kl_dist formula, summed over action dims."""
+    sig_old = jnp.exp(log_sig_old)
+    sig_new = jnp.exp(log_sig_new)
+    kl = (log_sig_new - log_sig_old
+          + (sig_old ** 2 + (mu_old - mu_new) ** 2) / (2 * sig_new ** 2)
+          - 0.5)
+    return jnp.sum(kl, axis=-1)
+
+
+class PPO:
+    """Trainer binding a task env to the PPO update. Mirrors rl_games
+    A2CAgent / the reference's CommonAgent structure functionally."""
+
+    def __init__(self, env, cfg: PPOConfig, seed: int = 0):
+        self.env = env
+        self.cfg = cfg
+        self.seed = seed
+        dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        self.net = ActorCritic(num_actions=env.num_acts, units=cfg.units,
+                               activation=cfg.activation,
+                               separate=cfg.separate, dtype=dtype)
+        if cfg.truncate_grads:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
+                             optax.scale_by_adam(eps=1e-8))
+        else:
+            tx = optax.scale_by_adam(eps=1e-8)
+        self.tx = tx
+        n_total = cfg.horizon_length * env.num_envs
+        assert n_total % cfg.minibatch_size == 0, \
+            f"batch {n_total} not divisible by minibatch {cfg.minibatch_size}"
+        self.num_minibatches = n_total // cfg.minibatch_size
+
+        self.epoch_fn = jax.jit(self._epoch)
+
+    # ------------------------------------------------------------------ init
+    def init(self, key=None) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(self.seed)
+        k_env, k_net, key = jax.random.split(key, 3)
+        env_state, obs = self.env.reset(k_env)
+        params = self.net.init(k_net, obs[:1])
+        n = self.env.num_envs
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            lr=jnp.asarray(self.cfg.learning_rate),
+            obs_rms=RunningMeanStd.create((self.env.num_obs,)),
+            value_rms=RunningMeanStd.create(()),
+            env_state=env_state, obs=obs, key=key,
+            epoch=jnp.asarray(0, jnp.int32),
+            cum_reward=jnp.zeros(n), cum_length=jnp.zeros(n, jnp.int32),
+        )
+
+    # ------------------------------------------------------------- epoch fn
+    def _forward(self, params, obs_rms, obs):
+        o = obs_rms.normalize(obs) if self.cfg.normalize_input else obs
+        return self.net.apply(params, o)
+
+    def _epoch(self, ts: TrainState):
+        cfg = self.cfg
+        env = self.env
+
+        # ---------------- rollout (lax.scan over horizon) ------------------
+        def rollout_step(carry, _):
+            env_state, obs, key, cum_r, cum_l = carry
+            key, k_act = jax.random.split(key)
+            mu, log_sig, v_n = self._forward(ts.params, ts.obs_rms, obs)
+            value = ts.value_rms.unnormalize(v_n) if cfg.normalize_value else v_n
+            sigma = jnp.exp(log_sig)
+            action = mu + sigma * jax.random.normal(k_act, mu.shape)
+            logp = _gauss_logp(mu, log_sig, action)
+            env_state, step_ts = env.step(env_state, action)
+            reward = step_ts.reward * cfg.reward_shaper_scale
+            if cfg.value_bootstrap:
+                reward = reward + cfg.gamma * value * step_ts.timeout
+            # episode bookkeeping on raw rewards
+            cum_r = cum_r + step_ts.reward
+            cum_l = cum_l + 1
+            d = step_ts.done
+            ep_r_sum = jnp.sum(jnp.where(d, cum_r, 0.0))
+            ep_l_sum = jnp.sum(jnp.where(d, cum_l, 0))
+            ep_n = jnp.sum(d)
+            cum_r = jnp.where(d, 0.0, cum_r)
+            cum_l = jnp.where(d, 0, cum_l)
+            data = dict(obs=obs, action=action, logp=logp, value=value,
+                        reward=reward, done=d, mu=mu)
+            stats = (ep_r_sum, ep_l_sum, ep_n)
+            return (env_state, step_ts.obs, key, cum_r, cum_l), (data, stats)
+
+        carry0 = (ts.env_state, ts.obs, ts.key, ts.cum_reward, ts.cum_length)
+        (env_state, last_obs, key, cum_r, cum_l), (batch, ep_stats) = \
+            jax.lax.scan(rollout_step, carry0, None, length=cfg.horizon_length)
+
+        # bootstrap value for the final obs
+        _, log_sig0, v_last_n = self._forward(ts.params, ts.obs_rms, last_obs)
+        v_last = (ts.value_rms.unnormalize(v_last_n) if cfg.normalize_value
+                  else v_last_n)
+
+        # ---------------- GAE (reverse scan) --------------------------------
+        def gae_step(carry, data_t):
+            gae, v_next = carry
+            nonterminal = 1.0 - data_t["done"].astype(jnp.float32)
+            delta = (data_t["reward"] + cfg.gamma * v_next * nonterminal
+                     - data_t["value"])
+            gae = delta + cfg.gamma * cfg.tau * nonterminal * gae
+            return (gae, data_t["value"]), gae
+
+        (_, _), adv = jax.lax.scan(
+            gae_step, (jnp.zeros_like(v_last), v_last), batch, reverse=True)
+        returns = adv + batch["value"]
+
+        # ---------------- normalizer updates -------------------------------
+        obs_rms = (ts.obs_rms.update(batch["obs"].reshape(-1, env.num_obs))
+                   if cfg.normalize_input else ts.obs_rms)
+        value_rms = (ts.value_rms.update(returns.reshape(-1))
+                     if cfg.normalize_value else ts.value_rms)
+
+        # flatten (T, N) → (T·N,)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), batch)
+        flat_returns = returns.reshape(-1)
+        flat_adv = adv.reshape(-1)
+        if cfg.normalize_advantage:
+            flat_adv = (flat_adv - flat_adv.mean()) / (flat_adv.std() + 1e-8)
+        old_values_n = (value_rms.normalize(flat["value"], clip=0.0)
+                        if cfg.normalize_value else flat["value"])
+        targets_n = (value_rms.normalize(flat_returns, clip=0.0)
+                     if cfg.normalize_value else flat_returns)
+
+        total = flat_returns.shape[0]
+
+        # ---------------- minibatch SGD with adaptive-KL LR ----------------
+        def loss_fn(params, mb):
+            o = (obs_rms.normalize(mb["obs"]) if cfg.normalize_input
+                 else mb["obs"])
+            mu, log_sig, v_n = self.net.apply(params, o)
+            logp = _gauss_logp(mu, log_sig, mb["action"])
+            ratio = jnp.exp(logp - mb["logp"])
+            surr1 = mb["adv"] * ratio
+            surr2 = mb["adv"] * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
+            a_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+            if cfg.clip_value:
+                v_clipped = mb["old_v"] + jnp.clip(v_n - mb["old_v"],
+                                                   -cfg.e_clip, cfg.e_clip)
+                c_loss = jnp.maximum((v_n - mb["target"]) ** 2,
+                                     (v_clipped - mb["target"]) ** 2)
+            else:
+                c_loss = (v_n - mb["target"]) ** 2
+            c_loss = jnp.mean(c_loss)
+
+            entropy = jnp.mean(jnp.sum(
+                log_sig + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1))
+
+            # soft action-bound loss (common_agent.py:427-435)
+            sb = 1.1
+            b_loss = jnp.mean(jnp.sum(
+                jnp.maximum(mu - sb, 0.0) ** 2
+                + jnp.minimum(mu + sb, 0.0) ** 2, axis=-1))
+
+            loss = (a_loss + 0.5 * cfg.critic_coef * c_loss
+                    - cfg.entropy_coef * entropy
+                    + cfg.bounds_loss_coef * b_loss)
+            kl = jnp.mean(_gauss_kl(mb["mu"], mb["old_log_sig"], mu, log_sig))
+            aux = dict(a_loss=a_loss, c_loss=c_loss, entropy=entropy,
+                       b_loss=b_loss, kl=kl)
+            return loss, aux
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        old_log_sig = self.net.apply(ts.params, last_obs[:1])[1]
+
+        def mb_update(carry, idx):
+            params, opt_state, lr, key = carry
+            take = lambda x: x[idx]
+            mb = dict(obs=take(flat["obs"]), action=take(flat["action"]),
+                      logp=take(flat["logp"]), mu=take(flat["mu"]),
+                      adv=take(flat_adv), old_v=take(old_values_n),
+                      target=take(targets_n), old_log_sig=old_log_sig)
+            (loss, aux), grads = grad_fn(params, mb)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(
+                params, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+            # adaptive KL LR, legacy schedule: per-minibatch
+            if cfg.lr_schedule == "adaptive":
+                kl = aux["kl"]
+                lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                               jnp.maximum(lr / 1.5, 1e-6), lr)
+                lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                               jnp.minimum(lr * 1.5, 1e-2), lr)
+            return (params, opt_state, lr, key), (loss, aux["kl"],
+                                                  aux["a_loss"],
+                                                  aux["c_loss"],
+                                                  aux["entropy"])
+
+        def mini_epoch(carry, k):
+            perm = jax.random.permutation(k, total)
+            idxs = perm.reshape(self.num_minibatches, cfg.minibatch_size)
+            return jax.lax.scan(mb_update, carry, idxs)
+
+        key, *ekeys = jax.random.split(key, cfg.mini_epochs + 1)
+        carry = (ts.params, ts.opt_state, ts.lr, key)
+        metrics_mb = []
+        for ek in ekeys:  # static unroll over mini_epochs (small)
+            carry, m = mini_epoch(carry, ek)
+            metrics_mb.append(m)
+        params, opt_state, lr, key = carry
+
+        metrics = dict(
+            loss=jnp.mean(jnp.stack([m[0] for m in metrics_mb])),
+            kl=jnp.mean(jnp.stack([m[1] for m in metrics_mb])),
+            a_loss=jnp.mean(jnp.stack([m[2] for m in metrics_mb])),
+            c_loss=jnp.mean(jnp.stack([m[3] for m in metrics_mb])),
+            entropy=jnp.mean(jnp.stack([m[4] for m in metrics_mb])),
+            lr=lr,
+            episode_reward_sum=jnp.sum(ep_stats[0]),
+            episode_length_sum=jnp.sum(ep_stats[1]),
+            episode_count=jnp.sum(ep_stats[2]),
+            reward_mean_step=jnp.mean(batch["reward"]),
+        )
+
+        new_ts = TrainState(
+            params=params, opt_state=opt_state, lr=lr,
+            obs_rms=obs_rms, value_rms=value_rms,
+            env_state=env_state, obs=last_obs, key=key,
+            epoch=ts.epoch + 1, cum_reward=cum_r, cum_length=cum_l)
+        return new_ts, metrics
+
+    # ------------------------------------------------------------------ eval
+    @functools.partial(jax.jit, static_argnums=0)
+    def act_deterministic(self, ts: TrainState, obs):
+        mu, _, _ = self._forward(ts.params, ts.obs_rms, obs)
+        return jnp.clip(mu, -1.0, 1.0)

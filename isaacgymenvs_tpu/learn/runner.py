@@ -1,0 +1,158 @@
+"""Training runner: epoch loop, checkpointing, metrics, eval player.
+
+Functional analogue of rl_games Runner + the reference CommonAgent.train
+epoch loop (`learning/common_agent.py:113-183`): per-epoch fps telemetry,
+checkpoint cadence (save_frequency / save_best_after), TensorBoard-or-JSONL
+scalars, and a deterministic eval player (`learning/common_player.py:37`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ppo import PPO, PPOConfig, TrainState
+
+
+class MetricsWriter:
+    """TensorBoard if torch is importable, always JSONL alongside."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        self.jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(logdir)
+        except Exception:
+            pass
+
+    def write(self, step: int, scalars: dict):
+        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, float(v), step)
+
+
+def save_checkpoint(path: str, ts: TrainState, meta: Optional[dict] = None):
+    """Orbax-free checkpoint: the TrainState pytree + meta, pickled with
+    numpy leaves (reference: rl_games .pth with model/optimizer/RMS stats,
+    `common_agent.py:160-183`)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host = jax.tree_util.tree_map(np.asarray, ts)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({"train_state": host, "meta": meta or {}}, f)
+    os.replace(tmp, path)  # atomic, NFS-retry analogue of safe_filesystem_op
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    ts = jax.tree_util.tree_map(jnp.asarray, blob["train_state"])
+    return ts, blob.get("meta", {})
+
+
+class Runner:
+    """runner.run({'train': …, 'play': …, 'checkpoint': …}) equivalent
+    (reference train.py:156-161)."""
+
+    def __init__(self, env, train_params: dict, *, seed: int = 0,
+                 logdir: str = "runs/default", max_epochs: Optional[int] = None):
+        cfg = PPOConfig.from_rlgames(train_params.get("params", train_params))
+        if max_epochs is not None:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, max_epochs=max_epochs)
+        self.cfg = cfg
+        self.env = env
+        self.agent = PPO(env, cfg, seed=seed)
+        self.logdir = logdir
+        self.writer = MetricsWriter(logdir)
+        self.save_freq = train_params.get("params", {}).get(
+            "config", {}).get("save_frequency", 50)
+        self.save_best_after = train_params.get("params", {}).get(
+            "config", {}).get("save_best_after", 100)
+
+    def train(self, checkpoint: Optional[str] = None) -> TrainState:
+        ts = self.agent.init()
+        if checkpoint:
+            ts, _ = load_checkpoint(checkpoint)
+        best = -np.inf
+        steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
+        nn_dir = os.path.join(self.logdir, "nn")
+        t_start = time.time()
+        ep_r_acc = ep_n_acc = ep_l_acc = 0.0
+        for e in range(int(ts.epoch), self.cfg.max_epochs):
+            t0 = time.time()
+            ts, m = self.agent.epoch_fn(ts)
+            jax.block_until_ready(ts.lr)
+            dt_epoch = time.time() - t0
+            fps = steps_per_epoch / dt_epoch
+            ep_r_acc += float(m["episode_reward_sum"])
+            ep_l_acc += float(m["episode_length_sum"])
+            ep_n_acc += float(m["episode_count"])
+            ep_rew = ep_r_acc / max(ep_n_acc, 1)
+            scalars = {
+                "losses/total": m["loss"], "losses/a_loss": m["a_loss"],
+                "losses/c_loss": m["c_loss"], "losses/entropy": m["entropy"],
+                "info/kl": m["kl"], "info/lr": m["lr"],
+                "rewards/step": m["reward_mean_step"],
+                "rewards/episode": ep_rew,
+                "episode_lengths/mean": ep_l_acc / max(ep_n_acc, 1),
+                "performance/step_fps": fps,
+            }
+            self.writer.write(e, scalars)
+            if e % 10 == 0 or e == self.cfg.max_epochs - 1:
+                print(f"epoch {e:5d} | ep_rew {ep_rew:10.2f} | "
+                      f"fps {fps:9.0f} | kl {float(m['kl']):.4f} | "
+                      f"lr {float(m['lr']):.1e}", flush=True)
+                if ep_n_acc > 0:
+                    ep_r_acc = ep_l_acc = ep_n_acc = 0.0
+            if self.save_freq and e and e % self.save_freq == 0:
+                save_checkpoint(os.path.join(nn_dir, "last.ckpt"), ts,
+                                {"epoch": e, "reward": ep_rew})
+            if e >= self.save_best_after and ep_rew > best and ep_n_acc > 0:
+                best = ep_rew
+                save_checkpoint(os.path.join(nn_dir, "best.ckpt"), ts,
+                                {"epoch": e, "reward": ep_rew})
+        save_checkpoint(os.path.join(nn_dir, "final.ckpt"), ts,
+                        {"epoch": self.cfg.max_epochs})
+        print(f"train done in {time.time()-t_start:.1f}s")
+        return ts
+
+    def play(self, checkpoint: Optional[str] = None, games: int = 8,
+             max_steps: int = 1000):
+        """Deterministic eval (CommonPlayer.run equivalent)."""
+        ts = self.agent.init()
+        if checkpoint:
+            ts, _ = load_checkpoint(checkpoint)
+        env = self.env
+        key = jax.random.PRNGKey(1234)
+        env_state, obs = env.reset(key)
+        step = jax.jit(env.step)
+        total_r = np.zeros(env.num_envs)
+        finished_r, finished = [], 0
+        for _ in range(max_steps):
+            act = self.agent.act_deterministic(ts, obs)
+            env_state, t = step(env_state, act)
+            obs = t.obs
+            total_r += np.asarray(t.reward)
+            d = np.asarray(t.done)
+            if d.any():
+                finished_r.extend(total_r[d].tolist())
+                finished += int(d.sum())
+                total_r[d] = 0.0
+            if finished >= games:
+                break
+        mean_r = float(np.mean(finished_r)) if finished_r else float("nan")
+        print(f"play: {finished} episodes, mean reward {mean_r:.2f}")
+        return mean_r

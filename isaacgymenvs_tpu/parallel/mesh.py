@@ -1,0 +1,48 @@
+"""Device mesh + env-axis sharding (SURVEY.md §2.8 TPU-native equivalents).
+
+The reference scales by one-sim-per-GPU-process with torch.distributed
+NCCL all-reduce (`train.py:74-82`, rl_games A2CBase). Here: single-program
+multi-chip — ONE logical sim whose env axis is sharded over the mesh with
+`NamedSharding(P("env"))`; the PPO learner stays in the same jit, XLA
+inserts psum/all-gather collectives over ICI. Multi-host: call
+`jax.distributed.initialize()` (train.py multi_gpu flag) and the same code
+spans hosts (DCN between slices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_batched(tree, mesh: Mesh, batch_size: int, axis: str = ENV_AXIS):
+    """Place every leaf whose leading dim == batch_size on the env axis;
+    replicate everything else (params, optimizer, normalizers, scalars)."""
+    env_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == batch_size:
+            return jax.device_put(x, env_sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def pmean_if_distributed(x, axis: str = ENV_AXIS):
+    """Metric reduction helper for shard_map-style code paths."""
+    try:
+        return jax.lax.pmean(x, axis)
+    except NameError:
+        return x

@@ -92,7 +92,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     lim_dof, lim_sign, lim_bound = _limit_rows(model)
     nl = len(lim_dof)
     if nc == 0 and nl == 0:
-        return qd_free, jnp.zeros((nb, 3), dtype)
+        return qd_free, jnp.zeros((nb, 3), dtype), jnp.zeros((nb, 3), dtype)
 
     S = kin.dof_S                                   # (nv,6)
     rows_J = []
@@ -188,11 +188,17 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
 
     qd_new = qd_free + MinvJT @ lam
 
-    # equivalent contact forces for reporting (impulse/h), per body
+    # equivalent contact force/torque for reporting (impulse/h) per body —
+    # replaces acquire_net_contact_force_tensor + force sensors
+    # (`tasks/anymal.py:112`, `tasks/ant.py:174-178`)
     if nc:
         f_lin = (lam[:nc, None] * n + lam[nc:2 * nc, None] * t1
                  + lam[2 * nc:3 * nc, None] * t2) / h
+        arm = cpt - kin.body_pos[b_idx]
         body_cf = jax.ops.segment_sum(f_lin, b_idx, num_segments=nb)
+        body_ct = jax.ops.segment_sum(jnp.cross(arm, f_lin), b_idx,
+                                      num_segments=nb)
     else:
         body_cf = jnp.zeros((nb, 3), dtype)
-    return qd_new, body_cf
+        body_ct = jnp.zeros((nb, 3), dtype)
+    return qd_new, body_cf, body_ct

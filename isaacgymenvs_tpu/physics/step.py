@@ -30,6 +30,7 @@ class StepInfo:
 
     kin: Any                 # Kinematics at final substep
     body_contact_force: Any  # (nb,3) net contact force per body
+    body_contact_torque: Any  # (nb,3) contact torque about body origin
     qdd: Any                 # (nv,) last-substep acceleration
     tau: Any                 # (nv,) applied generalized force (actuation+extra)
 
@@ -64,6 +65,7 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
     def substep(carry, _):
         q, qd = carry
         kin = forward_kinematics(model, params, q, qd)
+        body_ct = jnp.zeros((model.nbody, 3), q.dtype)
         if impulse:
             f_ext, body_cf = extra_force, jnp.zeros((model.nbody, 3), q.dtype)
         else:
@@ -85,18 +87,18 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
         qdd = jax.scipy.linalg.cho_solve((L, True), tau - C)
         qd_free = qd + h * qdd
         if impulse:
-            qd_new, body_cf = solve_constraints(
+            qd_new, body_cf, body_ct = solve_constraints(
                 model, params, sim, kin, contacts, q, qd_free, L, h,
                 height_fn)
         else:
             qd_new = qd_free
         q_new = integrate_position(model, q, qd_new, h)
-        return (q_new, qd_new), (body_cf, (qd_new - qd) / h, tau)
+        return (q_new, qd_new), (body_cf, body_ct, (qd_new - qd) / h, tau)
 
-    (q, qd), (cfs, qdds, taus) = jax.lax.scan(
+    (q, qd), (cfs, cts, qdds, taus) = jax.lax.scan(
         substep, (state.q, state.qd), None, length=nsub)
 
     kin = forward_kinematics(model, params, q, qd)
-    info = StepInfo(kin=kin, body_contact_force=cfs[-1], qdd=qdds[-1],
-                    tau=taus[-1])
+    info = StepInfo(kin=kin, body_contact_force=cfs[-1],
+                    body_contact_torque=cts[-1], qdd=qdds[-1], tau=taus[-1])
     return T.ArtState(q=q, qd=qd), info
