@@ -118,6 +118,9 @@ class ArticulationModel:
     # --- defaults ---
     init_qpos: np.ndarray         # (nq,)
 
+    # merged link name → surviving body name (URDF collapse_fixed_joints)
+    body_aliases: dict = dataclasses.field(default_factory=dict)
+
     @property
     def nbody(self) -> int:
         return len(self.body_parent)
@@ -150,6 +153,8 @@ class ArticulationModel:
         return self is other
 
     def body_index(self, name: str) -> int:
+        if name not in self.body_names and name in self.body_aliases:
+            name = self.body_aliases[name]
         return self.body_names.index(name)
 
     def jnt_index(self, name: str) -> int:
@@ -247,8 +252,13 @@ class Kinematics:
 
     body_pos: Any    # (..., nb, 3) body frame origin, world
     body_quat: Any   # (..., nb, 4)
-    body_vel: Any    # (..., nb, 6) spatial [ω; v_origin] about world origin
+    body_vel: Any    # (..., nb, 6) spatial [ω; v] about the reference point
     com: Any         # (..., nb, 3) body COM, world
-    # per-dof motion subspace about world origin, and its time derivative
+    # per-dof motion subspace about the reference point, + time derivative
     dof_S: Any       # (..., nv, 6)
     dof_Sdot: Any    # (..., nv, 6)
+    # spatial reference point (world): all spatial vectors are expressed
+    # about this point, NOT the world origin. Choosing it near the bodies
+    # (root body position) keeps the spatial algebra well-conditioned no
+    # matter how far an env's robot walks from the origin.
+    ref: Any         # (..., 3)

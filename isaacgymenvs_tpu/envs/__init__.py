@@ -13,6 +13,8 @@ def _lazy(module, cls):
 isaacgym_task_map = {
     "Cartpole": _lazy("cartpole", "Cartpole"),
     "Ant": _lazy("ant", "Ant"),
+    "Humanoid": _lazy("humanoid", "Humanoid"),
+    "Anymal": _lazy("anymal", "Anymal"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

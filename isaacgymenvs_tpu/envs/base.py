@@ -183,7 +183,12 @@ class VecTask:
         # --- stage 4: obs + reward ----------------------------------------
         obs, aux_up = self._observe(state, info)
         state = dataclasses.replace(state, aux={**state.aux, **aux_up})
-        reward, done, task_info = self._reward_done(state, obs, actions, info)
+        out = self._reward_done(state, obs, actions, info)
+        if len(out) == 4:  # optional trailing aux updates (air time, last_*)
+            reward, done, task_info, aux_up2 = out
+            state = dataclasses.replace(state, aux={**state.aux, **aux_up2})
+        else:
+            reward, done, task_info = out
 
         # --- stage 5: timeout (exact vec_task.py:345 semantics) ------------
         timeout = (state.progress >= self.max_episode_length - 1) & done
@@ -202,6 +207,7 @@ class VecTask:
         loops) override this."""
         contacts = build_ground_contacts(self.model)
         params_batched = self._params_batched()
+        actions = self._action_to_ctrl(actions)
 
         def one(art, ctrl, params):
             return physics_step(self.model, self.sim, params, art, ctrl=ctrl,
@@ -212,6 +218,11 @@ class VecTask:
         in_axes = (0, 0, 0 if params_batched else None)
         return jax.vmap(one, in_axes=in_axes)(state.art, actions,
                                               state.params)
+
+    def _action_to_ctrl(self, actions):
+        """Map policy actions → actuator controls (e.g. PD position targets
+        `action_scale·a + default_dof_pos`, `tasks/anymal.py:230-232`)."""
+        return actions
 
     def _params_batched(self) -> bool:
         return False  # overridden when DR batches PhysParams per env

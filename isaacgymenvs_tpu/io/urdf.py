@@ -76,9 +76,97 @@ _JTYPE = {"revolute": T.HINGE, "continuous": T.HINGE, "prismatic": T.SLIDE,
           "floating": T.FREE, "fixed": None, "planar": None}
 
 
+def _compose(p1, q1, p2, q2):
+    """Rigid-transform composition (numpy)."""
+    R1 = _quat_to_mat_np(q1)
+    return p1 + R1 @ p2, _quat_mul_np(q1, q2)
+
+
+def _collapse_fixed(bodies, joints, geoms):
+    """Merge joint-less (welded) bodies into their parents — Isaac Gym's
+    `asset_options.collapse_fixed_joints` (reference `tasks/anymal.py:176`).
+
+    Mass properties are composed (mass sum, COM barycenter, parallel-axis
+    inertia transport); geoms are re-parented with composed transforms.
+    Returns (alias map: merged link name → surviving link name). Bodies are
+    in DFS order (parents precede children), so one forward pass suffices.
+    """
+    jointed = {j["body"] for j in joints}
+    n = len(bodies)
+    # target body + transform of each ORIGINAL body frame in its target frame
+    target = list(range(n))
+    t_pos = [np.zeros(3) for _ in range(n)]
+    t_quat = [np.array([1.0, 0, 0, 0]) for _ in range(n)]
+    dead = [False] * n
+    aliases = {}
+
+    for bid in range(n):
+        b = bodies[bid]
+        p = b["parent"]
+        if p < 0:
+            continue
+        # express this body's frame in its (possibly merged) parent's target
+        pt = target[p]
+        base_pos, base_quat = _compose(t_pos[p], t_quat[p], b["pos"], b["quat"])
+        if bid in jointed:
+            if pt != p or dead[p]:
+                b["parent"], b["pos"], b["quat"] = pt, base_pos, base_quat
+            continue
+        # welded: merge into parent's target
+        dead[bid] = True
+        target[bid] = pt
+        t_pos[bid], t_quat[bid] = base_pos, base_quat
+        aliases[b["name"]] = bodies[pt]["name"]
+        tgt = bodies[pt]
+        R = _quat_to_mat_np(base_quat)
+        m_c = b["mass"]
+        com_c = base_pos + R @ b["com"]         # child COM in target frame
+        I_c = R @ b["inertia"] @ R.T
+        M = tgt["mass"] + m_c
+        if M > 0:
+            com = (tgt["mass"] * tgt["com"] + m_c * com_c) / M
+        else:
+            com = tgt["com"]
+        def _shift(I, m, d):
+            return I + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+        tgt["inertia"] = (_shift(tgt["inertia"], tgt["mass"], tgt["com"] - com)
+                          + _shift(I_c, m_c, com_c - com))
+        tgt["mass"], tgt["com"] = M, com
+
+    for g in geoms:
+        b = g["body"]
+        if dead[b]:
+            g["pos"], g["quat"] = _compose(t_pos[b], t_quat[b],
+                                           g["pos"], g["quat"])
+            g["body"] = target[b]
+
+    # compact indices
+    new_id = {}
+    out_bodies = []
+    for bid in range(n):
+        if not dead[bid]:
+            new_id[bid] = len(out_bodies)
+            out_bodies.append(bodies[bid])
+    for b in out_bodies:
+        if b["parent"] >= 0:
+            b["parent"] = new_id[b["parent"]]
+    for j in joints:
+        j["body"] = new_id[j["body"]]
+    for g in geoms:
+        g["body"] = new_id[g["body"]]
+    # resolve alias chains to surviving names
+    for k in list(aliases):
+        v = aliases[k]
+        while v in aliases:
+            v = aliases[v]
+        aliases[k] = v
+    return out_bodies, aliases
+
+
 def load_urdf(path: str, *, fix_base: bool = True,
               density: float = 1000.0,
-              collapse_fixed_joints: bool = False) -> T.ArticulationModel:
+              collapse_fixed_joints: bool = False,
+              replace_cylinder_with_capsule: bool = False) -> T.ArticulationModel:
     tree = ET.parse(path)
     robot = tree.getroot()
     name = robot.get("name", "urdf")
@@ -198,6 +286,19 @@ def load_urdf(path: str, *, fix_base: bool = True,
     # re-sort joints in body (tree) order — walk appended root-free first, then DFS
     joints.sort(key=lambda jj: jj["body"])
 
+    aliases = {}
+    if collapse_fixed_joints:
+        bodies, aliases = _collapse_fixed(bodies, joints, geoms)
+
+    if replace_cylinder_with_capsule:
+        # Isaac Gym asset option (reference `tasks/anymal.py:177`): capsules
+        # roll/contact far better; keep total extent (hl_cap + r = hl_cyl)
+        for g in geoms:
+            if g["type"] == T.GEOM_CYLINDER:
+                r, hl = g["size"][0], g["size"][1]
+                g["type"] = T.GEOM_CAPSULE
+                g["size"] = np.array([r, max(hl - r, 1e-3), 0.0])
+
     from .mjcf import _finalize
 
     class _B:  # minimal shim matching _finalize's expectations
@@ -211,6 +312,8 @@ def load_urdf(path: str, *, fix_base: bool = True,
     b.joints = joints
     b.geoms = geoms
     model = _finalize(name, b, [], None)
+    if aliases:
+        model = __import__("dataclasses").replace(model, body_aliases=aliases)
     # URDF has no <actuator>; envs attach drives via effort limits per dof.
     return model
 

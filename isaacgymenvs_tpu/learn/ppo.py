@@ -156,6 +156,10 @@ class PPO:
             tx = optax.scale_by_adam(eps=1e-8)
         self.tx = tx
         n_total = cfg.horizon_length * env.num_envs
+        if cfg.minibatch_size > n_total:
+            # YAMLs assume the default num_envs; smaller runs shrink with it
+            cfg = dataclasses.replace(cfg, minibatch_size=n_total)
+            self.cfg = cfg
         assert n_total % cfg.minibatch_size == 0, \
             f"batch {n_total} not divisible by minibatch {cfg.minibatch_size}"
         self.num_minibatches = n_total // cfg.minibatch_size

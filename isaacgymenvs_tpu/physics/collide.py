@@ -145,10 +145,11 @@ def ground_contact_forces(model: T.ArticulationModel, params: T.PhysParams,
     depth = rad + ground_h - p[..., 2]
 
     contact_pt = p - normal * rad[..., None]
+    cpt_rel = contact_pt - kin.ref                # about the spatial ref point
 
     # velocity of the material point
     v6 = kin.body_vel[b]                          # (nc,6)
-    v_pt = v6[..., 3:] + jnp.cross(v6[..., :3], contact_pt)
+    v_pt = v6[..., 3:] + jnp.cross(v6[..., :3], cpt_rel)
 
     vn = jnp.einsum("...i,...i->...", v_pt, normal)
     vt = v_pt - vn[..., None] * normal
@@ -169,7 +170,7 @@ def ground_contact_forces(model: T.ArticulationModel, params: T.PhysParams,
     ft = -ft_mag[..., None] * vt / jnp.maximum(vt_norm, 1e-6)[..., None]
 
     force = fn[..., None] * normal + ft           # (nc,3)
-    f_spatial = point_force_to_spatial(force, contact_pt)  # (nc,6)
+    f_spatial = point_force_to_spatial(force, cpt_rel)  # (nc,6) about ref
 
     f_ext = jax.ops.segment_sum(f_spatial, b, num_segments=nb)
     body_cf = jax.ops.segment_sum(force, b, num_segments=nb)

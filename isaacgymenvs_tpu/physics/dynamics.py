@@ -57,12 +57,13 @@ def dof_structure(model: T.ArticulationModel):
 
 
 def _spatial_inertias(model, params, kin):
-    """(nb, 6, 6) world-frame spatial inertia of each body about origin."""
+    """(nb, 6, 6) world-axes spatial inertia of each body about kin.ref."""
     dtype = kin.body_pos.dtype
     R = quat_to_mat(kin.body_quat)                        # (nb,3,3)
     I_world = R @ params.body_inertia.astype(dtype) @ jnp.swapaxes(R, -1, -2)
     from ..core.maths import spatial_inertia
-    return spatial_inertia(params.body_mass.astype(dtype), kin.com, I_world)
+    return spatial_inertia(params.body_mass.astype(dtype),
+                           kin.com - kin.ref, I_world)
 
 
 def crba(model: T.ArticulationModel, params: T.PhysParams,
@@ -96,7 +97,7 @@ def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
               f_ext: jnp.ndarray | None = None) -> jnp.ndarray:
     """Bias force C(q, qd) − τ_ext: the generalized force such that
     M qdd = τ − C. Includes gravity, Coriolis/centrifugal and (minus)
-    external spatial forces f_ext (nb, 6) about the world origin.
+    external spatial forces f_ext (nb, 6) about kin.ref.
     """
     nb, nv = model.nbody, model.nv
     dtype = kin.body_pos.dtype
@@ -239,8 +240,8 @@ def jacobian_body(model, params, kin, body_idx: int, point_w):
     ld = last_dof[body_idx]
     col_mask = jnp.asarray(mask_np[:, ld] if ld >= 0 else np.zeros(nv),
                            kin.body_pos.dtype)
-    S = kin.dof_S                                          # (nv,6) about origin
+    S = kin.dof_S                                          # (nv,6) about ref
     omega = S[:, :3]
-    v_pt = S[:, 3:] + jnp.cross(omega, point_w[None, :])
+    v_pt = S[:, 3:] + jnp.cross(omega, (point_w - kin.ref)[None, :])
     J = jnp.concatenate([omega, v_pt], axis=-1) * col_mask[:, None]
     return J.T                                             # (6, nv)

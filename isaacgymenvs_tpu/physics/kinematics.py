@@ -68,7 +68,19 @@ def forward_kinematics(model: T.ArticulationModel, params: T.PhysParams,
         body_pos[i] = pos
         body_quat[i] = quat
 
-    # ---- motion subspaces (about world origin, from FINAL body poses) ----
+    # ---- spatial reference point ------------------------------------------
+    # All spatial vectors below are expressed about `ref` (the first body's
+    # position), NOT the world origin: about-origin algebra cancels
+    # catastrophically once bodies are far from the origin (lever arms grow
+    # as |p|, the generalized inertia emerges from O(|p|²) term differences)
+    # — fatal in bf16/TPU-default matmul precision, and wrong even in f32
+    # for locomotion tasks that walk hundreds of meters. The dynamics are
+    # invariant to this choice, so gradients through `ref` cancel exactly;
+    # stop_gradient removes them for free.
+    import jax
+    ref = jax.lax.stop_gradient(body_pos[0])
+
+    # ---- motion subspaces (about ref, from FINAL body poses) --------------
     S = [None] * nv  # each (6,)
     for ji in range(model.njnt):
         i = int(model.jnt_body[ji])
@@ -82,16 +94,18 @@ def forward_kinematics(model: T.ArticulationModel, params: T.PhysParams,
                 S[va + k] = jnp.concatenate([zero, e])          # translation
             for k in range(3):
                 e = jnp.zeros(3, dtype).at[k].set(1.0)
-                S[va + 3 + k] = jnp.concatenate([e, jnp.cross(pos, e)])  # rotation about body origin
+                S[va + 3 + k] = jnp.concatenate([e, jnp.cross(pos - ref, e)])  # rotation about body origin
         elif jt == T.HINGE:
             a_w = quat_rotate(quat, jnp.asarray(model.jnt_axis[ji], dtype))
-            anchor_w = pos + quat_rotate(quat, jnp.asarray(model.jnt_pos[ji], dtype))
+            anchor_w = (pos - ref) + quat_rotate(
+                quat, jnp.asarray(model.jnt_pos[ji], dtype))
             S[va] = jnp.concatenate([a_w, jnp.cross(anchor_w, a_w)])
         elif jt == T.SLIDE:
             a_w = quat_rotate(quat, jnp.asarray(model.jnt_axis[ji], dtype))
             S[va] = jnp.concatenate([jnp.zeros(3, dtype), a_w])
         elif jt == T.BALL:
-            anchor_w = pos + quat_rotate(quat, jnp.asarray(model.jnt_pos[ji], dtype))
+            anchor_w = (pos - ref) + quat_rotate(
+                quat, jnp.asarray(model.jnt_pos[ji], dtype))
             for k in range(3):
                 e = quat_rotate(quat, jnp.zeros(3, dtype).at[k].set(1.0))
                 S[va + k] = jnp.concatenate([e, jnp.cross(anchor_w, e)])
@@ -127,10 +141,11 @@ def forward_kinematics(model: T.ArticulationModel, params: T.PhysParams,
         com=jnp.stack(com),
         dof_S=jnp.stack(S) if nv else jnp.zeros((0, 6), dtype),
         dof_Sdot=jnp.stack(Sdot) if nv else jnp.zeros((0, 6), dtype),
+        ref=ref,
     )
 
 
 def body_point_velocity(kin: T.Kinematics, body_idx: int, point_w):
     """Velocity of a world-space point rigidly attached to a body."""
     v6 = kin.body_vel[body_idx]
-    return v6[3:] + jnp.cross(v6[:3], point_w)
+    return v6[3:] + jnp.cross(v6[:3], point_w - kin.ref)

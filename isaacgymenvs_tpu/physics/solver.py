@@ -119,10 +119,12 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-6)
         t2 = jnp.cross(n, t1)
 
-        # per-dof point-velocity contribution: (nv, nc, 3)
+        # per-dof point-velocity contribution: (nv, nc, 3); points measured
+        # from the spatial reference (kin.ref) like everything in dof_S
+        cpt_rel = cpt - kin.ref
         v_dof = S[:, None, 3:] + jnp.cross(
             jnp.broadcast_to(S[:, None, :3], (nv, nc, 3)),
-            jnp.broadcast_to(cpt[None, :, :], (nv, nc, 3)))
+            jnp.broadcast_to(cpt_rel[None, :, :], (nv, nc, 3)))
         D = jnp.asarray(_dof_body_mask(model))[:, np.asarray(contacts.body)]
         v_dof = v_dof * D[:, :, None]
 

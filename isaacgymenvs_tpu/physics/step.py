@@ -49,8 +49,10 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
     ctrl: (nu,) actuator controls, held constant over substeps (reference
       semantics: actions applied once per `step`, `vec_task.py:324-339`).
     extra_tau: (nv,) additional generalized torque (env-level PD loops).
-    extra_force: (nb,6) additional spatial forces about world origin
-      (pushes, thrusters — replaces `apply_rigid_body_force_tensors`).
+    extra_force: (nb,6) additional spatial forces [torque; force], each
+      about ITS OWN body origin, world axes (pushes, thrusters — replaces
+      `apply_rigid_body_force_tensors`). Converted internally to the
+      kinematics reference point.
     tau_fn: optional (q, qd) → (nv,) torque recomputed EVERY substep
       (AnymalTerrain-style decimated PD, `anymal_terrain.py:441-449`).
     """
@@ -66,13 +68,20 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
         q, qd = carry
         kin = forward_kinematics(model, params, q, qd)
         body_ct = jnp.zeros((model.nbody, 3), q.dtype)
+        ef_ref = None
+        if extra_force is not None:
+            # re-express about kin.ref: n_ref = n_body + (p_body − ref) × f
+            arm = kin.body_pos - kin.ref
+            f_lin = extra_force[:, 3:]
+            ef_ref = jnp.concatenate(
+                [extra_force[:, :3] + jnp.cross(arm, f_lin), f_lin], axis=-1)
         if impulse:
-            f_ext, body_cf = extra_force, jnp.zeros((model.nbody, 3), q.dtype)
+            f_ext, body_cf = ef_ref, jnp.zeros((model.nbody, 3), q.dtype)
         else:
             f_ext, body_cf = ground_contact_forces(model, params, sim, kin,
                                                    contacts, height_fn)
-            if extra_force is not None:
-                f_ext = f_ext + extra_force
+            if ef_ref is not None:
+                f_ext = f_ext + ef_ref
         tau = passive_forces(model, params, sim, q, qd,
                              include_limits=not impulse)
         if ctrl is not None and model.nu:

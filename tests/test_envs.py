@@ -114,3 +114,48 @@ def test_ant_progress_reward_sign(ant):
     state, ts = step(state, jnp.zeros((8, 8)))
     # progress term ≈ v_x·dt/dt = 2 m/s ⇒ reward > alive only
     assert float(ts.reward.mean()) > 1.0
+
+
+def test_anymal_api_and_stand():
+    """Anymal: PD position control holds the default pose near spawn height
+    (reference `tasks/anymal.py:202-232`)."""
+    env = isaacgymenvs_tpu.make(task="Anymal", num_envs=4)
+    assert env.num_obs == 48 and env.num_acts == 12
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 48)
+    step = jax.jit(env.step)
+    for _ in range(25):
+        state, ts = step(state, jnp.zeros((4, 12)))
+    assert not jnp.isnan(ts.obs).any()
+    # zero action → PD holds default pose; base should stay well above ground
+    z = np.asarray(state.art.q[:, 2])
+    assert (z > 0.4).all(), f"anymal collapsed: z={z}"
+    assert ts.reward.shape == (4,)
+
+
+def test_urdf_collapse_fixed_joints():
+    from isaacgymenvs_tpu.io.urdf import load_urdf
+    m = load_urdf("/root/reference/assets/urdf/anymal_c/urdf/anymal.urdf",
+                  fix_base=False, collapse_fixed_joints=True,
+                  replace_cylinder_with_capsule=True)
+    assert m.nbody == 13 and m.nv == 18
+    # total mass preserved by merging (~52.7 kg trunk + legs)
+    m_full = load_urdf("/root/reference/assets/urdf/anymal_c/urdf/anymal.urdf",
+                       fix_base=False)
+    np.testing.assert_allclose(m.body_mass.sum(), m_full.body_mass.sum(),
+                               rtol=1e-6)
+    # welded foot aliases to its shank
+    assert m.body_names[m.body_index("LF_FOOT")] == "LF_SHANK"
+
+
+def test_humanoid_reset_obs():
+    """Humanoid reset produces the 108-D obs layout (heavy jit of the full
+    step is exercised by bench/smoke, not unit tests)."""
+    env = isaacgymenvs_tpu.make(task="Humanoid", num_envs=4)
+    assert env.num_obs == 108 and env.num_acts == 21
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 108)
+    assert not jnp.isnan(obs).any()
+    # spawn height 1.34 (humanoid.py:178-181) with ±0.2 dof jitter
+    z = np.asarray(state.art.q[:, 2])
+    assert (np.abs(z - 1.34) < 1e-5).all()
