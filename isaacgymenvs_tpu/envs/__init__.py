@@ -15,6 +15,11 @@ isaacgym_task_map = {
     "Ant": _lazy("ant", "Ant"),
     "Humanoid": _lazy("humanoid", "Humanoid"),
     "Anymal": _lazy("anymal", "Anymal"),
+    "AnymalTerrain": _lazy("anymal_terrain", "AnymalTerrain"),
+    "A1Terrain": _lazy("a1_terrain", "A1Terrain"),
+    "BallBalance": _lazy("ball_balance", "BallBalance"),
+    "Ingenuity": _lazy("ingenuity", "Ingenuity"),
+    "Quadcopter": _lazy("quadcopter", "Quadcopter"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

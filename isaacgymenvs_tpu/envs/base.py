@@ -51,6 +51,9 @@ class EnvState:
     params: Any              # PhysParams (leaves may be (N, ...) under DR)
     aux: Dict[str, Any]      # task-specific batched fields
     dr_count: Any            # (N,) int32 — randomize_buf equivalent
+    step_count: Any = None   # () int32 — global frame counter
+    dr: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # ^ DR runtime state: correlated-noise samples, gravity override
 
 
 @jax.tree_util.register_dataclass
@@ -94,11 +97,28 @@ class VecTask:
     clip_actions: float = np.inf
     control_freq_inv: int = 1
     height_fn = None  # terrain heightfield lookup
+    pair_contacts = None  # static body-pair candidates (PairSet)
+    attractors = None     # static pin constraints (solver.Attractors)
     refresh_kin_on_reset: bool = False
 
     def __init__(self, cfg: Optional[dict] = None, num_envs: int = 4096):
         self.cfg = cfg or {}
         self.num_envs = num_envs
+        task_cfg = self.cfg.get("task", {}) or {}
+        self.randomize = bool(task_cfg.get("randomize", False))
+        self._dr_params = task_cfg.get("randomization_params", {}) or {}
+        self._dr = None
+
+    @property
+    def dr(self):
+        """Lazily-built DomainRandomizer (model exists after subclass init).
+        Replaces `apply_randomizations` (vec_task.py:538-768)."""
+        if not self.randomize:
+            return None
+        if self._dr is None:
+            from ..dr.engine import DomainRandomizer
+            self._dr = DomainRandomizer(self._dr_params, self.model)
+        return self._dr
 
     # ------------------------------------------------------------------ api
     @property
@@ -120,6 +140,25 @@ class VecTask:
         (vec_task.py:377-389)."""
         n = self.num_envs
         keys = jax.random.split(rng, n + 1)
+        params = self._initial_params(keys[0])
+        dr_state = {}
+        if self.dr is not None:
+            dr = self.dr
+            kg, kc1, kc2, kp = jax.random.split(
+                jax.random.fold_in(keys[0], 99), 4)
+            if dr.randomizes_params:
+                base = self.model.default_phys_params()
+                if params.body_mass.ndim == base.body_mass.ndim:  # untiled
+                    params = dr.tile_params(params, n)
+                pkeys = jax.random.split(kp, n)
+                params = dr.randomize_params(
+                    base, params, pkeys, jnp.ones(n, bool), jnp.zeros(()))
+            dr_state = {
+                "corr_obs": dr.sample_corr(kc1, (n, self.num_obs), "obs"),
+                "corr_act": dr.sample_corr(kc2, (n, self.num_acts), "act"),
+                "gravity": dr.randomize_gravity(self.sim.gravity, kg,
+                                                jnp.zeros(())),
+            }
         state = EnvState(
             art=T.ArtState(
                 q=jnp.tile(jnp.asarray(self.model.init_qpos), (n, 1)),
@@ -127,9 +166,11 @@ class VecTask:
             progress=jnp.zeros(n, jnp.int32),
             done=jnp.zeros(n, bool),
             rng=keys[1:],
-            params=self._initial_params(keys[0]),
+            params=params,
             aux=self._initial_aux(),
             dr_count=jnp.zeros(n, jnp.int32),
+            step_count=jnp.zeros((), jnp.int32),
+            dr=dr_state,
         )
         # sample proper reset states for all envs
         reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(state.rng)
@@ -145,6 +186,14 @@ class VecTask:
     def step(self, state: EnvState, actions) -> tuple:
         """One control step for all envs — pure, jit this."""
         n = self.num_envs
+        step_count = (state.step_count if state.step_count is not None
+                      else jnp.zeros((), jnp.int32))
+        # DR action noise BEFORE clamp (vec_task.py:324-327)
+        if self.dr is not None and self.dr.act_spec is not None:
+            k_act = jax.random.fold_in(
+                jax.random.fold_in(state.rng[0], 11), step_count)
+            actions = self.dr.action_noise(actions, k_act,
+                                           state.dr["corr_act"], step_count)
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
         if "actions" in state.aux:  # tasks exposing last actions in obs
             state = dataclasses.replace(
@@ -171,8 +220,42 @@ class VecTask:
         for k, v in aux_r.items():
             aux[k] = sel(v, aux[k])
         progress = jnp.where(d, 0, progress)
+
+        # --- DR re-randomization on reset ∧ frequency (vec_task.py:548-566)
+        dr_count = state.dr_count + 1
+        params = mid_state.params
+        dr_state = dict(state.dr)
+        if self.dr is not None:
+            dr = self.dr
+            rand_mask = d & (state.dr_count >= dr.frequency)
+            if dr.randomizes_params:
+                base = self.model.default_phys_params()
+                pkeys = jax.vmap(lambda k: jax.random.fold_in(k, 4))(state.rng)
+                params = dr.randomize_params(base, params, pkeys, rand_mask,
+                                             step_count)
+            dr_count = jnp.where(rand_mask, 0, dr_count)
+            # refresh correlated noise + gravity on the global cadence
+            kg = jax.random.fold_in(
+                jax.random.fold_in(state.rng[0], 13), step_count)
+            kc1, kc2, kg2 = jax.random.split(kg, 3)
+            if dr.obs_spec is not None:
+                new_c = dr.sample_corr(kc1, (n, self.num_obs), "obs")
+                dr_state["corr_obs"] = jnp.where(
+                    rand_mask[:, None], new_c, dr_state["corr_obs"])
+            if dr.act_spec is not None:
+                new_c = dr.sample_corr(kc2, (n, self.num_acts), "act")
+                dr_state["corr_act"] = jnp.where(
+                    rand_mask[:, None], new_c, dr_state["corr_act"])
+            if dr.gravity_spec is not None:
+                refresh = (step_count + 1) % dr.frequency == 0
+                new_g = dr.randomize_gravity(self.sim.gravity, kg2,
+                                             step_count)
+                dr_state["gravity"] = jnp.where(refresh, new_g,
+                                                dr_state["gravity"])
+
         state = dataclasses.replace(mid_state, art=art, progress=progress,
-                                    aux=aux, dr_count=state.dr_count + 1)
+                                    aux=aux, dr_count=dr_count, params=params,
+                                    step_count=step_count + 1, dr=dr_state)
 
         # optionally recompute kinematics for reset envs. Default OFF: the
         # reference likewise computes post-reset obs from tensors refreshed
@@ -194,6 +277,12 @@ class VecTask:
         timeout = (state.progress >= self.max_episode_length - 1) & done
 
         state = dataclasses.replace(state, done=done)
+        # DR obs noise BEFORE clamp (vec_task.py:347-353)
+        if self.dr is not None and self.dr.obs_spec is not None:
+            k_obs = jax.random.fold_in(
+                jax.random.fold_in(state.rng[0], 12), step_count)
+            obs = self.dr.obs_noise(obs, k_obs, state.dr["corr_obs"],
+                                    step_count)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
         ts = TimeStep(obs=obs, reward=reward, done=done, timeout=timeout,
                       info=task_info, states=self._states(state, info))
@@ -208,12 +297,15 @@ class VecTask:
         contacts = build_ground_contacts(self.model)
         params_batched = self._params_batched()
         actions = self._action_to_ctrl(actions)
+        gravity = state.dr.get("gravity")
 
         def one(art, ctrl, params):
             return physics_step(self.model, self.sim, params, art, ctrl=ctrl,
                                 contacts=contacts, height_fn=self.height_fn,
                                 n_substeps=self.sim.substeps
-                                * self.control_freq_inv)
+                                * self.control_freq_inv, gravity=gravity,
+                                pair_contacts=self.pair_contacts,
+                                attractors=self.attractors)
 
         in_axes = (0, 0, 0 if params_batched else None)
         return jax.vmap(one, in_axes=in_axes)(state.art, actions,
@@ -225,7 +317,7 @@ class VecTask:
         return actions
 
     def _params_batched(self) -> bool:
-        return False  # overridden when DR batches PhysParams per env
+        return self.dr is not None and self.dr.randomizes_params
 
     def _initial_params(self, key):
         return self.model.default_phys_params()
@@ -233,14 +325,17 @@ class VecTask:
     def _initial_aux(self) -> dict:
         return {}
 
+    def _batched_fk(self, state):
+        from ..physics.kinematics import forward_kinematics
+        in_axes = (0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(
+            lambda q, qd, p: forward_kinematics(self.model, p, q, qd),
+            in_axes=in_axes)(state.art.q, state.art.qd, state.params)
+
     def _fake_info(self, state):
         """Info for the first reset() observation: run FK only."""
-        from ..physics.kinematics import forward_kinematics
         from ..physics.step import StepInfo
-        params = state.params
-        kin = jax.vmap(
-            lambda q, qd: forward_kinematics(self.model, params, q, qd)
-        )(state.art.q, state.art.qd)
+        kin = self._batched_fk(state)
         nb = self.model.nbody
         n = self.num_envs
         z3 = jnp.zeros((n, nb, 3))
@@ -251,11 +346,7 @@ class VecTask:
 
     def _refresh_info(self, state, info, done_mask):
         """Recompute kinematics where envs were reset (their info is stale)."""
-        from ..physics.kinematics import forward_kinematics
-        params = state.params
-        kin_new = jax.vmap(
-            lambda q, qd: forward_kinematics(self.model, params, q, qd)
-        )(state.art.q, state.art.qd)
+        kin_new = self._batched_fk(state)
         m = done_mask
 
         def sel(new, old):

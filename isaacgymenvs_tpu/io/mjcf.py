@@ -272,9 +272,15 @@ class _Builder:
 
 
 def load_mjcf(path: str, *, density: float = 1000.0) -> T.ArticulationModel:
-    """Parse an MJCF file into an ArticulationModel (forest incl. world geoms)."""
-    tree = ET.parse(path)
-    root = tree.getroot()
+    """Parse an MJCF file into an ArticulationModel (forest incl. world geoms).
+
+    `path` may also be a raw XML string (procedurally-authored assets —
+    the reference writes balance_bot.xml / ingenuity MJCF at runtime,
+    `tasks/ball_balance.py:135-224`)."""
+    if isinstance(path, str) and path.lstrip().startswith("<"):
+        root = ET.fromstring(path)
+    else:
+        root = ET.parse(path).getroot()
 
     compiler = root.find("compiler")
     angle_scale = _DEG2RAD

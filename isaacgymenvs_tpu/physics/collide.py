@@ -61,6 +61,373 @@ _BOX_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                          for sz in (-1, 1)], dtype=np.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class PairSet:
+    """Static body-pair contact candidates, decomposed into two primitive
+    kinds at build time (fixed shapes for XLA):
+
+      spheres : sphere(A) vs sphere(B)       — covers sphere-sphere, box
+                corners / capsule endpoints as r-spheres where applicable
+      segs    : capsule segment(A) vs capsule segment(B) — covers
+                capsule-capsule and sphere-capsule (degenerate segment)
+      sbox    : sphere(A) vs box(B)          — covers sphere-box,
+                capsule-box (endpoint spheres), box-box (corner spheres)
+
+    The TPU replacement for PhysX broadphase+narrowphase over registered
+    actor pairs (hand↔object, ball↔tray): the candidate set is enumerated
+    once at model build; inactive candidates are masked by depth.
+    """
+
+    # sphere-sphere: body/geom indices + body-frame centers + radii
+    ss_body: np.ndarray    # (n,2) int32
+    ss_geom: np.ndarray    # (n,2)
+    ss_off: np.ndarray     # (n,2,3)
+    ss_rad: np.ndarray     # (n,2)
+    # segment-segment: body-frame endpoints (a0,a1,b0,b1) + radii
+    cc_body: np.ndarray    # (m,2)
+    cc_geom: np.ndarray    # (m,2)
+    cc_pts: np.ndarray     # (m,4,3)
+    cc_rad: np.ndarray     # (m,2)
+    # sphere-box: sphere (body-frame center, radius) vs box (pose, half-size)
+    sb_body: np.ndarray    # (k,2)
+    sb_geom: np.ndarray    # (k,2)
+    sb_off: np.ndarray     # (k,3) sphere center in body_a frame
+    sb_rad: np.ndarray     # (k,)
+    sb_pos: np.ndarray     # (k,3) box origin in body_b frame
+    sb_quat: np.ndarray    # (k,4)
+    sb_half: np.ndarray    # (k,3)
+    # sphere-cylinder: sphere vs SOLID flat cylinder (tray discs)
+    sc_body: np.ndarray = None   # (j,2)
+    sc_geom: np.ndarray = None   # (j,2)
+    sc_off: np.ndarray = None    # (j,3)
+    sc_rad: np.ndarray = None    # (j,)
+    sc_pos: np.ndarray = None    # (j,3) cylinder origin in body_b frame
+    sc_quat: np.ndarray = None   # (j,4)
+    sc_size: np.ndarray = None   # (j,2) radius, half-length
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    @property
+    def count(self):
+        n = len(self.ss_body) + len(self.cc_body) + len(self.sb_body)
+        if self.sc_body is not None:
+            n += len(self.sc_body)
+        return n
+
+
+def build_pair_contacts(model: T.ArticulationModel,
+                        pairs=None, body_pairs=None) -> PairSet:
+    """Enumerate body-pair candidates.
+
+    pairs: list of (geom_name_a, geom_name_b). body_pairs: list of
+    (body_name_a, body_name_b) — expands to all geom pairs between the two
+    bodies. None = all geom pairs whose bodies are distinct, not
+    parent-child, and pass the contype/conaffinity filter
+    ((ca & cb') | (cb & ca')) — MuJoCo-style, matching how the reference
+    relies on PhysX collision filtering per actor (`create_actor`
+    collision groups, `tasks/ant.py:190`)."""
+    ss, cc, sb = [], [], []
+
+    def geom_of(name):
+        return model.geom_index(name)
+
+    if body_pairs is not None:
+        cand = []
+        for na_, nb_ in body_pairs:
+            ba_ = model.body_index(na_)
+            bb_ = model.body_index(nb_)
+            for ga in range(model.ngeom):
+                if int(model.geom_body[ga]) != ba_:
+                    continue
+                for gb in range(model.ngeom):
+                    if int(model.geom_body[gb]) == bb_:
+                        cand.append((ga, gb))
+    elif pairs is None:
+        cand = []
+        parent = model.body_parent
+        for ga in range(model.ngeom):
+            for gb in range(ga + 1, model.ngeom):
+                ba, bb = int(model.geom_body[ga]), int(model.geom_body[gb])
+                if ba == bb or ba < 0 or bb < 0:
+                    continue
+                if int(parent[ba]) == bb or int(parent[bb]) == ba:
+                    continue
+                ta, tb = int(model.geom_contype[ga]), int(model.geom_contype[gb])
+                fa, fb = (int(model.geom_conaffinity[ga]),
+                          int(model.geom_conaffinity[gb]))
+                if not ((ta & fb) or (tb & fa)):
+                    continue
+                cand.append((ga, gb))
+    else:
+        cand = [(geom_of(a), geom_of(b)) for a, b in pairs]
+
+    def seg_of(g):
+        """Capsule/cylinder → body-frame endpoints + radius."""
+        r, hl = float(model.geom_size[g][0]), float(model.geom_size[g][1])
+        p, q = model.geom_pos[g], model.geom_quat[g]
+        w, x, y, z = q
+        axis = np.array([2 * (x * z + w * y), 2 * (y * z - w * x),
+                         1 - 2 * (x * x + y * y)])  # R @ ez
+        return p - hl * axis, p + hl * axis, r
+
+    sc = []
+    for ga, gb in cand:
+        ta, tb = int(model.geom_type[ga]), int(model.geom_type[gb])
+        ba, bb = int(model.geom_body[ga]), int(model.geom_body[gb])
+
+        def sphere(g):
+            return model.geom_pos[g], float(model.geom_size[g][0])
+
+        # sphere vs cylinder: exact solid-cylinder narrowphase (tray discs)
+        if {ta, tb} == {T.GEOM_SPHERE, T.GEOM_CYLINDER}:
+            if ta == T.GEOM_CYLINDER:
+                ga, gb, ta, tb, ba, bb = gb, ga, tb, ta, bb, ba
+            ca, ra = sphere(ga)
+            sc.append((ba, bb, ga, gb, ca, ra, model.geom_pos[gb],
+                       model.geom_quat[gb], model.geom_size[gb][:2]))
+            continue
+        # other cylinder pairings approximate as capsule
+        ta = T.GEOM_CAPSULE if ta == T.GEOM_CYLINDER else ta
+        tb = T.GEOM_CAPSULE if tb == T.GEOM_CYLINDER else tb
+
+        if (ta, tb) == (T.GEOM_SPHERE, T.GEOM_SPHERE):
+            ca, ra = sphere(ga)
+            cb, rb = sphere(gb)
+            ss.append((ba, bb, ga, gb, ca, cb, ra, rb))
+        elif {ta, tb} == {T.GEOM_SPHERE, T.GEOM_CAPSULE}:
+            if ta == T.GEOM_CAPSULE:
+                ga, gb, ta, tb, ba, bb = gb, ga, tb, ta, bb, ba
+            ca, ra = sphere(ga)
+            b0, b1, rb = seg_of(gb)
+            cc.append((ba, bb, ga, gb, ca, ca, b0, b1, ra, rb))
+        elif (ta, tb) == (T.GEOM_CAPSULE, T.GEOM_CAPSULE):
+            a0, a1, ra = seg_of(ga)
+            b0, b1, rb = seg_of(gb)
+            cc.append((ba, bb, ga, gb, a0, a1, b0, b1, ra, rb))
+        elif T.GEOM_BOX in (ta, tb) and T.GEOM_SPHERE in (ta, tb):
+            if ta == T.GEOM_BOX:
+                ga, gb, ta, tb, ba, bb = gb, ga, tb, ta, bb, ba
+            ca, ra = sphere(ga)
+            sb.append((ba, bb, ga, gb, ca, ra, model.geom_pos[gb],
+                       model.geom_quat[gb], model.geom_size[gb]))
+        elif T.GEOM_BOX in (ta, tb) and T.GEOM_CAPSULE in (ta, tb):
+            if ta == T.GEOM_BOX:
+                ga, gb, ta, tb, ba, bb = gb, ga, tb, ta, bb, ba
+            a0, a1, ra = seg_of(ga)
+            for pt in (a0, a1):
+                sb.append((ba, bb, ga, gb, pt, ra, model.geom_pos[gb],
+                           model.geom_quat[gb], model.geom_size[gb]))
+        elif (ta, tb) == (T.GEOM_BOX, T.GEOM_BOX):
+            def corners(g):
+                from ..io.mjcf import _quat_to_mat_np
+                R = _quat_to_mat_np(model.geom_quat[g])
+                return [model.geom_pos[g] + R @ (c * model.geom_size[g])
+                        for c in _BOX_CORNERS]
+            for pt in corners(ga):
+                sb.append((ba, bb, ga, gb, pt, 0.0, model.geom_pos[gb],
+                           model.geom_quat[gb], model.geom_size[gb]))
+            for pt in corners(gb):
+                sb.append((bb, ba, gb, ga, pt, 0.0, model.geom_pos[ga],
+                           model.geom_quat[ga], model.geom_size[ga]))
+        # plane/hfield/mesh pairs unsupported (ground handles plane/hfield)
+
+    f32 = np.float32
+    return PairSet(
+        ss_body=np.array([(a[0], a[1]) for a in ss], np.int32).reshape(-1, 2),
+        ss_geom=np.array([(a[2], a[3]) for a in ss], np.int32).reshape(-1, 2),
+        ss_off=np.array([(a[4], a[5]) for a in ss], f32).reshape(-1, 2, 3),
+        ss_rad=np.array([(a[6], a[7]) for a in ss], f32).reshape(-1, 2),
+        cc_body=np.array([(a[0], a[1]) for a in cc], np.int32).reshape(-1, 2),
+        cc_geom=np.array([(a[2], a[3]) for a in cc], np.int32).reshape(-1, 2),
+        cc_pts=np.array([(a[4], a[5], a[6], a[7]) for a in cc],
+                        f32).reshape(-1, 4, 3),
+        cc_rad=np.array([(a[8], a[9]) for a in cc], f32).reshape(-1, 2),
+        sb_body=np.array([(a[0], a[1]) for a in sb], np.int32).reshape(-1, 2),
+        sb_geom=np.array([(a[2], a[3]) for a in sb], np.int32).reshape(-1, 2),
+        sb_off=np.array([a[4] for a in sb], f32).reshape(-1, 3),
+        sb_rad=np.array([a[5] for a in sb], f32).reshape(-1),
+        sb_pos=np.array([a[6] for a in sb], f32).reshape(-1, 3),
+        sb_quat=np.array([a[7] for a in sb], f32).reshape(-1, 4),
+        sb_half=np.array([a[8] for a in sb], f32).reshape(-1, 3),
+        sc_body=np.array([(a[0], a[1]) for a in sc], np.int32).reshape(-1, 2),
+        sc_geom=np.array([(a[2], a[3]) for a in sc], np.int32).reshape(-1, 2),
+        sc_off=np.array([a[4] for a in sc], f32).reshape(-1, 3),
+        sc_rad=np.array([a[5] for a in sc], f32).reshape(-1),
+        sc_pos=np.array([a[6] for a in sc], f32).reshape(-1, 3),
+        sc_quat=np.array([a[7] for a in sc], f32).reshape(-1, 4),
+        sc_size=np.array([a[8] for a in sc], f32).reshape(-1, 2),
+    )
+
+
+def _closest_seg_seg(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1], [p2,q2] (branchless,
+    Ericson 5.1.9). All (..., 3). Returns (c1, c2)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e)
+                                          / jnp.maximum(denom, 1e-12),
+                                          0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    # re-clamp s for clamped t
+    s = jnp.clip((t_cl * b - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    c1 = p1 + s[..., None] * d1
+    c2 = p2 + t_cl[..., None] * d2
+    return c1, c2
+
+
+def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
+                          kin: T.Kinematics, ps: PairSet):
+    """Runtime narrowphase for the static candidates: returns
+    (depth (npc,), normal (npc,3) pointing B→A, cpt (npc,3),
+     body_a, body_b (npc,), mu (npc,)) — concatenated over the 3 kinds."""
+    dtype = kin.body_pos.dtype
+    depths, normals, cpts, bas, bbs, mus = [], [], [], [], [], []
+    gf = params.geom_friction.astype(dtype)
+
+    def world_pt(body, off):
+        return kin.body_pos[body] + quat_rotate(kin.body_quat[body], off)
+
+    if len(ps.ss_body):
+        ba, bb = ps.ss_body[:, 0], ps.ss_body[:, 1]
+        pa = world_pt(jnp.asarray(ba), jnp.asarray(ps.ss_off[:, 0], dtype))
+        pb = world_pt(jnp.asarray(bb), jnp.asarray(ps.ss_off[:, 1], dtype))
+        d = pa - pb
+        dist = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(dist, 1e-9)[..., None]
+        ra = jnp.asarray(ps.ss_rad[:, 0], dtype)
+        rb = jnp.asarray(ps.ss_rad[:, 1], dtype)
+        depth = ra + rb - dist
+        cpt = pb + n * (rb - 0.5 * depth)[..., None]
+        depths.append(depth); normals.append(n); cpts.append(cpt)
+        bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
+        mus.append(0.5 * (gf[jnp.asarray(ps.ss_geom[:, 0])]
+                          + gf[jnp.asarray(ps.ss_geom[:, 1])]))
+
+    if len(ps.cc_body):
+        ba, bb = ps.cc_body[:, 0], ps.cc_body[:, 1]
+        a0 = world_pt(jnp.asarray(ba), jnp.asarray(ps.cc_pts[:, 0], dtype))
+        a1 = world_pt(jnp.asarray(ba), jnp.asarray(ps.cc_pts[:, 1], dtype))
+        b0 = world_pt(jnp.asarray(bb), jnp.asarray(ps.cc_pts[:, 2], dtype))
+        b1 = world_pt(jnp.asarray(bb), jnp.asarray(ps.cc_pts[:, 3], dtype))
+        c1, c2 = _closest_seg_seg(a0, a1, b0, b1)
+        d = c1 - c2
+        dist = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(dist, 1e-9)[..., None]
+        ra = jnp.asarray(ps.cc_rad[:, 0], dtype)
+        rb = jnp.asarray(ps.cc_rad[:, 1], dtype)
+        depth = ra + rb - dist
+        cpt = c2 + n * (rb - 0.5 * depth)[..., None]
+        depths.append(depth); normals.append(n); cpts.append(cpt)
+        bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
+        mus.append(0.5 * (gf[jnp.asarray(ps.cc_geom[:, 0])]
+                          + gf[jnp.asarray(ps.cc_geom[:, 1])]))
+
+    if len(ps.sb_body):
+        from ..core.maths import quat_mul, quat_conj, quat_rotate_inv
+        ba, bb = ps.sb_body[:, 0], ps.sb_body[:, 1]
+        pa = world_pt(jnp.asarray(ba), jnp.asarray(ps.sb_off, dtype))
+        # box world pose
+        bq = quat_mul(kin.body_quat[jnp.asarray(bb)],
+                      jnp.asarray(ps.sb_quat, dtype))
+        bp = world_pt(jnp.asarray(bb), jnp.asarray(ps.sb_pos, dtype))
+        # sphere center in box frame
+        local = quat_rotate_inv(bq, pa - bp)
+        half = jnp.asarray(ps.sb_half, dtype)
+        clamped = jnp.clip(local, -half, half)
+        outside = jnp.linalg.norm(local - clamped, axis=-1) > 1e-9
+        # inside: push out along min-penetration axis
+        pen_ax = half - jnp.abs(local)                  # (k,3) ≥0 inside
+        ax = jnp.argmin(pen_ax, axis=-1)
+        sign = jnp.sign(jnp.take_along_axis(local, ax[:, None], -1))[:, 0]
+        surf_in = local.at[jnp.arange(local.shape[0]), ax].set(
+            sign * half[jnp.arange(local.shape[0]), ax])
+        n_in = jnp.zeros_like(local).at[
+            jnp.arange(local.shape[0]), ax].set(sign)
+        surf = jnp.where(outside[:, None], clamped, surf_in)
+        d_out = local - clamped
+        n_loc = jnp.where(
+            outside[:, None],
+            d_out / jnp.maximum(jnp.linalg.norm(d_out, axis=-1,
+                                                keepdims=True), 1e-9),
+            n_in)
+        rad = jnp.asarray(ps.sb_rad, dtype)
+        dist = jnp.where(outside, jnp.linalg.norm(d_out, axis=-1),
+                         -jnp.min(pen_ax, axis=-1))
+        depth = rad - dist
+        n = quat_rotate(bq, n_loc)
+        cpt_w = bp + quat_rotate(bq, surf)
+        depths.append(depth); normals.append(n); cpts.append(cpt_w)
+        bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
+        mus.append(0.5 * (gf[jnp.asarray(ps.sb_geom[:, 0])]
+                          + gf[jnp.asarray(ps.sb_geom[:, 1])]))
+
+    if ps.sc_body is not None and len(ps.sc_body):
+        from ..core.maths import quat_mul, quat_rotate_inv
+        ba, bb = ps.sc_body[:, 0], ps.sc_body[:, 1]
+        pa = world_pt(jnp.asarray(ba), jnp.asarray(ps.sc_off, dtype))
+        cq = quat_mul(kin.body_quat[jnp.asarray(bb)],
+                      jnp.asarray(ps.sc_quat, dtype))
+        cp = world_pt(jnp.asarray(bb), jnp.asarray(ps.sc_pos, dtype))
+        local = quat_rotate_inv(cq, pa - cp)          # sphere center, cyl frame
+        R = jnp.asarray(ps.sc_size[:, 0], dtype)
+        H = jnp.asarray(ps.sc_size[:, 1], dtype)
+        rxy = jnp.linalg.norm(local[:, :2], axis=-1)
+        dir_xy = local[:, :2] / jnp.maximum(rxy, 1e-9)[:, None]
+        out_r = rxy > R
+        out_z = jnp.abs(local[:, 2]) > H
+        outside = out_r | out_z
+        cl_r = jnp.minimum(rxy, R)
+        cl_z = jnp.clip(local[:, 2], -H, H)
+        surf_out = jnp.concatenate([dir_xy * cl_r[:, None],
+                                    cl_z[:, None]], axis=-1)
+        # inside: push out via the smaller of radial / axial penetration
+        pen_r = R - rxy
+        pen_z = H - jnp.abs(local[:, 2])
+        axial = pen_z <= pen_r
+        sgn = jnp.sign(local[:, 2] + 1e-12)
+        surf_in = jnp.where(
+            axial[:, None],
+            jnp.concatenate([local[:, :2], (sgn * H)[:, None]], -1),
+            jnp.concatenate([dir_xy * R[:, None], local[:, 2:3]], -1))
+        n_in = jnp.where(
+            axial[:, None],
+            jnp.concatenate([jnp.zeros_like(dir_xy), sgn[:, None]], -1),
+            jnp.concatenate([dir_xy, jnp.zeros_like(sgn)[:, None]], -1))
+        surf = jnp.where(outside[:, None], surf_out, surf_in)
+        d_out = local - surf
+        n_loc = jnp.where(
+            outside[:, None],
+            d_out / jnp.maximum(jnp.linalg.norm(d_out, axis=-1,
+                                                keepdims=True), 1e-9),
+            n_in)
+        rad = jnp.asarray(ps.sc_rad, dtype)
+        dist = jnp.where(outside, jnp.linalg.norm(d_out, axis=-1),
+                         -jnp.minimum(pen_r, pen_z))
+        depth = rad - dist
+        n = quat_rotate(cq, n_loc)
+        cpt_w = cp + quat_rotate(cq, surf)
+        depths.append(depth); normals.append(n); cpts.append(cpt_w)
+        bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
+        mus.append(0.5 * (gf[jnp.asarray(ps.sc_geom[:, 0])]
+                          + gf[jnp.asarray(ps.sc_geom[:, 1])]))
+
+    return (jnp.concatenate(depths), jnp.concatenate(normals),
+            jnp.concatenate(cpts), jnp.concatenate(bas),
+            jnp.concatenate(bbs), jnp.concatenate(mus))
+
+
 @functools.lru_cache(maxsize=None)
 def build_ground_contacts(model: T.ArticulationModel) -> ContactSet:
     """Enumerate candidate points of all body geoms vs the ground."""

@@ -144,13 +144,17 @@ def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
 
 def passive_forces(model: T.ArticulationModel, params: T.PhysParams,
                    sim: T.SimParams, q: jnp.ndarray, qd: jnp.ndarray,
-                   include_limits: bool = True) -> jnp.ndarray:
+                   include_limits: bool = True,
+                   include_viscous: bool = True) -> jnp.ndarray:
     """Joint damping, springs, limit penalties, dry friction → τ (nv,).
 
     include_limits=False when the impulse solver handles limits as
-    unilateral constraint rows (the default path)."""
+    unilateral constraint rows (the default path). include_viscous=False
+    when the integrator applies joint damping implicitly (step.py)."""
     dtype = qd.dtype
-    tau = -params.dof_damping.astype(dtype) * qd
+    tau = jnp.zeros_like(qd)
+    if include_viscous:
+        tau = -params.dof_damping.astype(dtype) * qd
     # dry friction (smooth): −frictionloss · tanh(qd / eps)
     tau = tau - params.dof_frictionloss.astype(dtype) * jnp.tanh(qd / 0.05)
 

@@ -30,6 +30,32 @@ from ..core import types as T
 from .collide import ContactSet
 from .dynamics import dof_structure
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Attractors:
+    """Point-position equality constraints pinning body points to world
+    targets — the TPU analogue of `gym.create_rigid_body_attractor`
+    (reference `tasks/ball_balance.py:252-270`: 5e7-stiffness translation
+    attractors holding the balance-bot feet). Solved as 3 hard velocity
+    rows per attractor with Baumgarte bias (stable at any stiffness,
+    unlike an explicit spring)."""
+
+    body: np.ndarray     # (na,) int32
+    offset: np.ndarray   # (na,3) attachment point, body frame
+    target: np.ndarray   # (na,3) world target
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    @property
+    def count(self):
+        return len(self.body)
+
 
 @functools.lru_cache(maxsize=None)
 def _dof_body_mask(model: T.ArticulationModel) -> np.ndarray:
@@ -78,66 +104,96 @@ def _qpos_1dof(model, q):
 
 def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
                       sim: T.SimParams, kin, contacts: ContactSet,
-                      q, qd_free, L_chol, h, height_fn=None):
+                      q, qd_free, L_chol, h, height_fn=None,
+                      pair_geom=None, attractors=None):
     """One velocity-level constraint solve.
 
     qd_free: unconstrained post-step velocity (after forces, before
-    impulses). L_chol: cholesky factor of M. Returns
-    (qd_new, body_contact_force (nb,3) equivalent forces)."""
+    impulses). L_chol: cholesky factor of M. pair_geom: optional runtime
+    body-pair narrowphase output from `collide.pair_contact_geometry`.
+    Returns (qd_new, body_contact_force (nb,3), body_contact_torque)."""
     from ..core.maths import quat_rotate
 
     nv, nb = model.nv, model.nbody
     dtype = qd_free.dtype
-    nc = contacts.count
+    ncg = contacts.count
+    ncp = pair_geom[0].shape[0] if pair_geom is not None else 0
+    nc = ncg + ncp
     lim_dof, lim_sign, lim_bound = _limit_rows(model)
     nl = len(lim_dof)
-    if nc == 0 and nl == 0:
+    na = attractors.count if attractors is not None else 0
+    if nc == 0 and nl == 0 and na == 0:
         return qd_free, jnp.zeros((nb, 3), dtype), jnp.zeros((nb, 3), dtype)
 
     S = kin.dof_S                                   # (nv,6)
-    rows_J = []
-    rows_b = []
+    Dmat = jnp.asarray(_dof_body_mask(model))       # (nv,nb)
 
-    # ---- contact rows: [normals | tangent1 | tangent2] -------------------
-    if nc:
+    def point_vel_jac(cpt, dof_mask):
+        """(nv, k, 3) point-velocity jacobian at world points cpt (k,3),
+        masked per dof by dof_mask (nv, k)."""
+        k = cpt.shape[0]
+        cpt_rel = cpt - kin.ref
+        v = S[:, None, 3:] + jnp.cross(
+            jnp.broadcast_to(S[:, None, :3], (nv, k, 3)),
+            jnp.broadcast_to(cpt_rel[None, :, :], (nv, k, 3)))
+        return v * dof_mask[:, :, None]
+
+    # ---- unified normal-row geometry: ground then pairs -------------------
+    ns, cpts, depths, mus, vjacs = [], [], [], [], []
+    if ncg:
         b_idx = jnp.asarray(contacts.body)
         off = jnp.asarray(contacts.offset, dtype)
         rad = jnp.asarray(contacts.radius, dtype)
         p = kin.body_pos[b_idx] + quat_rotate(kin.body_quat[b_idx], off)
-
         if height_fn is None:
-            ground_h = jnp.zeros((nc,), dtype)
-            n = jnp.zeros((nc, 3), dtype).at[:, 2].set(1.0)
+            ground_h = jnp.zeros((ncg,), dtype)
+            n_g = jnp.zeros((ncg, 3), dtype).at[:, 2].set(1.0)
         else:
-            ground_h, n = height_fn(p[:, 0], p[:, 1])
-        depth = rad + ground_h - p[:, 2]
-        cpt = p - n * rad[:, None]
+            ground_h, n_g = height_fn(p[:, 0], p[:, 1])
+        depth_g = rad + ground_h - p[:, 2]
+        cpt_g = p - n_g * rad[:, None]
+        ns.append(n_g); cpts.append(cpt_g); depths.append(depth_g)
+        mus.append(params.geom_friction.astype(dtype)[
+            jnp.asarray(contacts.geom)])
+        vjacs.append(point_vel_jac(cpt_g, Dmat[:, np.asarray(contacts.body)]))
+    if ncp:
+        depth_p, n_p, cpt_p, ba, bb, mu_p = pair_geom
+        ns.append(n_p); cpts.append(cpt_p); depths.append(depth_p)
+        mus.append(mu_p)
+        # relative point velocity: dofs above A minus dofs above B
+        vjacs.append(point_vel_jac(cpt_p, Dmat[:, ba] - Dmat[:, bb]))
 
-        # tangent frame (robust for near-vertical normals)
-        ex = jnp.zeros((nc, 3), dtype).at[:, 0].set(1.0)
-        t1 = jnp.cross(n, ex)
-        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-6)
-        t2 = jnp.cross(n, t1)
+    if nc:
+        n = jnp.concatenate(ns)
+        cpt = jnp.concatenate(cpts)
+        depth = jnp.concatenate(depths)
+        mu = jnp.concatenate(mus)
+        v_dof = jnp.concatenate(vjacs, axis=1)      # (nv, nc, 3)
+    else:
+        n = jnp.zeros((0, 3), dtype)
+        cpt = jnp.zeros((0, 3), dtype)
+        depth = jnp.zeros((0,), dtype)
+        mu = jnp.zeros((0,), dtype)
+        v_dof = jnp.zeros((nv, 0, 3), dtype)
 
-        # per-dof point-velocity contribution: (nv, nc, 3); points measured
-        # from the spatial reference (kin.ref) like everything in dof_S
-        cpt_rel = cpt - kin.ref
-        v_dof = S[:, None, 3:] + jnp.cross(
-            jnp.broadcast_to(S[:, None, :3], (nv, nc, 3)),
-            jnp.broadcast_to(cpt_rel[None, :, :], (nv, nc, 3)))
-        D = jnp.asarray(_dof_body_mask(model))[:, np.asarray(contacts.body)]
-        v_dof = v_dof * D[:, :, None]
+    # tangent frame (robust for arbitrary normals)
+    ex = jnp.zeros((nc, 3), dtype).at[:, 0].set(1.0)
+    ey = jnp.zeros((nc, 3), dtype).at[:, 1].set(1.0)
+    ref_ax = jnp.where(jnp.abs(n[:, 0:1]) < 0.9, ex, ey)
+    t1 = jnp.cross(n, ref_ax)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-6)
+    t2 = jnp.cross(n, t1)
 
-        Jn = jnp.einsum("vci,ci->cv", v_dof, n)      # (nc,nv)
-        Jt1 = jnp.einsum("vci,ci->cv", v_dof, t1)
-        Jt2 = jnp.einsum("vci,ci->cv", v_dof, t2)
+    Jn = jnp.einsum("vci,ci->cv", v_dof, n)         # (nc,nv)
+    Jt1 = jnp.einsum("vci,ci->cv", v_dof, t1)
+    Jt2 = jnp.einsum("vci,ci->cv", v_dof, t2)
 
-        active = depth > 0.0
-        bias = -jnp.clip(sim.contact_beta * depth / h, 0.0,
-                         sim.max_depenetration_velocity)
-        bn = Jn @ qd_free + jnp.where(active, bias, 0.0)
-        rows_J += [Jn, Jt1, Jt2]
-        rows_b += [bn, Jt1 @ qd_free, Jt2 @ qd_free]
+    active = depth > 0.0
+    bias = -jnp.clip(sim.contact_beta * depth / h, 0.0,
+                     sim.max_depenetration_velocity)
+    rows_J = [Jn, Jt1, Jt2]
+    rows_b = [Jn @ qd_free + jnp.where(active, bias, 0.0),
+              Jt1 @ qd_free, Jt2 @ qd_free]
 
     # ---- joint-limit rows -------------------------------------------------
     if nl:
@@ -156,6 +212,20 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         rows_J.append(Jl)
         rows_b.append(bl)
 
+    # ---- attractor (pin) equality rows ------------------------------------
+    if na:
+        ab = jnp.asarray(attractors.body)
+        a_pt = kin.body_pos[ab] + quat_rotate(
+            kin.body_quat[ab], jnp.asarray(attractors.offset, dtype))
+        va = point_vel_jac(a_pt, Dmat[:, np.asarray(attractors.body)])
+        Ja = jnp.transpose(va, (1, 2, 0)).reshape(3 * na, nv)  # (a0x,a0y,a0z,…)
+        err = (a_pt - jnp.asarray(attractors.target, dtype)).reshape(-1)
+        ba_rows = Ja @ qd_free + jnp.clip(
+            sim.contact_beta * err / h,
+            -sim.max_depenetration_velocity, sim.max_depenetration_velocity)
+        rows_J.append(Ja)
+        rows_b.append(ba_rows)
+
     J = jnp.concatenate(rows_J, axis=0)             # (nr,nv)
     b = jnp.concatenate(rows_b, axis=0)
 
@@ -166,9 +236,6 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # PGD step size: 1 / max row abs sum (Gershgorin bound on λ_max)
     gamma = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
 
-    if nc:
-        mu = params.geom_friction.astype(dtype)[jnp.asarray(contacts.geom)]
-
     def project(lam):
         out = lam
         if nc:
@@ -178,9 +245,10 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
             lt2 = jnp.clip(lam[2 * nc:3 * nc], -lim_t, lim_t)
             out = out.at[:3 * nc].set(jnp.concatenate([ln, lt1, lt2]))
         if nl:
-            ll = jnp.where(lim_active, jnp.maximum(lam[3 * nc:], 0.0), 0.0)
-            out = out.at[3 * nc:].set(ll)
-        return out
+            ll = jnp.where(lim_active,
+                           jnp.maximum(lam[3 * nc:3 * nc + nl], 0.0), 0.0)
+            out = out.at[3 * nc:3 * nc + nl].set(ll)
+        return out  # attractor rows (equality) stay unprojected
 
     def body(i, lam):
         return project(lam - gamma * (A @ lam + b))
@@ -193,14 +261,27 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # equivalent contact force/torque for reporting (impulse/h) per body —
     # replaces acquire_net_contact_force_tensor + force sensors
     # (`tasks/anymal.py:112`, `tasks/ant.py:174-178`)
-    if nc:
-        f_lin = (lam[:nc, None] * n + lam[nc:2 * nc, None] * t1
-                 + lam[2 * nc:3 * nc, None] * t2) / h
-        arm = cpt - kin.body_pos[b_idx]
-        body_cf = jax.ops.segment_sum(f_lin, b_idx, num_segments=nb)
-        body_ct = jax.ops.segment_sum(jnp.cross(arm, f_lin), b_idx,
+    f_lin = (lam[:nc, None] * n + lam[nc:2 * nc, None] * t1
+             + lam[2 * nc:3 * nc, None] * t2) / h
+    if ncg:
+        fg = f_lin[:ncg]
+        arm = cpt[:ncg] - kin.body_pos[b_idx]
+        body_cf = jax.ops.segment_sum(fg, b_idx, num_segments=nb)
+        body_ct = jax.ops.segment_sum(jnp.cross(arm, fg), b_idx,
                                       num_segments=nb)
     else:
         body_cf = jnp.zeros((nb, 3), dtype)
         body_ct = jnp.zeros((nb, 3), dtype)
+    if ncp:
+        fp = f_lin[ncg:]
+        ba_j, bb_j = jnp.asarray(ba), jnp.asarray(bb)
+        arm_a = cpt[ncg:] - kin.body_pos[ba_j]
+        arm_b = cpt[ncg:] - kin.body_pos[bb_j]
+        body_cf = body_cf + jax.ops.segment_sum(fp, ba_j, num_segments=nb) \
+            - jax.ops.segment_sum(fp, bb_j, num_segments=nb)
+        body_ct = body_ct \
+            + jax.ops.segment_sum(jnp.cross(arm_a, fp), ba_j,
+                                  num_segments=nb) \
+            - jax.ops.segment_sum(jnp.cross(arm_b, fp), bb_j,
+                                  num_segments=nb)
     return qd_new, body_cf, body_ct

@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core import types as T
-from .actuation import actuator_torque
-from .collide import ContactSet, build_ground_contacts, ground_contact_forces
+from .actuation import actuation_terms
+from .collide import (ContactSet, PairSet, build_ground_contacts,
+                      ground_contact_forces, pair_contact_geometry)
 from .dynamics import crba, integrate_position, passive_forces, rnea_bias
 from .kinematics import forward_kinematics
 from .solver import solve_constraints
@@ -43,7 +44,11 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
                  contacts: ContactSet | None = None,
                  height_fn: Callable | None = None,
                  n_substeps: int | None = None,
-                 tau_fn: Callable | None = None) -> tuple:
+                 tau_fn: Callable | None = None,
+                 gravity=None,
+                 pair_contacts: PairSet | None = None,
+                 attractors=None,
+                 force_fn: Callable | None = None) -> tuple:
     """Advance one control step = ``substeps`` physics substeps.
 
     ctrl: (nu,) actuator controls, held constant over substeps (reference
@@ -55,12 +60,18 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
       kinematics reference point.
     tau_fn: optional (q, qd) → (nv,) torque recomputed EVERY substep
       (AnymalTerrain-style decimated PD, `anymal_terrain.py:441-449`).
+    force_fn: optional kin → (nb,6) spatial forces about each body origin,
+      world axes, recomputed every substep — used for LOCAL_SPACE thrust
+      (`apply_rigid_body_force_tensors(..., LOCAL_SPACE)`,
+      `tasks/ingenuity.py:359`: rotate a body-frame thrust by the body's
+      current orientation).
     """
     if contacts is None:
         contacts = build_ground_contacts(model)
     nsub = n_substeps if n_substeps is not None else sim.substeps
     h = sim.dt / nsub
-    gravity = sim.gravity
+    # gravity may be a traced override (DR sim_params group)
+    gravity = sim.gravity if gravity is None else gravity
 
     impulse = sim.solver == "impulse"
 
@@ -69,12 +80,16 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
         kin = forward_kinematics(model, params, q, qd)
         body_ct = jnp.zeros((model.nbody, 3), q.dtype)
         ef_ref = None
-        if extra_force is not None:
+        ef_body = extra_force
+        if force_fn is not None:
+            ef_dyn = force_fn(kin)
+            ef_body = ef_dyn if ef_body is None else ef_body + ef_dyn
+        if ef_body is not None:
             # re-express about kin.ref: n_ref = n_body + (p_body − ref) × f
             arm = kin.body_pos - kin.ref
-            f_lin = extra_force[:, 3:]
+            f_lin = ef_body[:, 3:]
             ef_ref = jnp.concatenate(
-                [extra_force[:, :3] + jnp.cross(arm, f_lin), f_lin], axis=-1)
+                [ef_body[:, :3] + jnp.cross(arm, f_lin), f_lin], axis=-1)
         if impulse:
             f_ext, body_cf = ef_ref, jnp.zeros((model.nbody, 3), q.dtype)
         else:
@@ -83,22 +98,32 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
             if ef_ref is not None:
                 f_ext = f_ext + ef_ref
         tau = passive_forces(model, params, sim, q, qd,
-                             include_limits=not impulse)
+                             include_limits=not impulse,
+                             include_viscous=False)
+        # implicit velocity-proportional terms: joint damping + PD drives
+        # (M + h·D) qdd = τ_expl − C − D·qd  — unconditionally stable for
+        # stiff gains (PhysX integrates DOF drives implicitly too)
+        dimp = params.dof_damping.astype(q.dtype)
         if ctrl is not None and model.nu:
-            tau = tau + actuator_torque(model, params, ctrl, q, qd)
+            tau_a, d_kd, d_kp = actuation_terms(model, params, ctrl, q, qd)
+            tau = tau + tau_a
+            dimp = dimp + d_kd + h * d_kp
         if extra_tau is not None:
             tau = tau + extra_tau
         if tau_fn is not None:
             tau = tau + tau_fn(q, qd)
         M = crba(model, params, kin)
         C = rnea_bias(model, params, kin, qd, gravity, f_ext)
-        L = jnp.linalg.cholesky(M)
-        qdd = jax.scipy.linalg.cho_solve((L, True), tau - C)
+        L = jnp.linalg.cholesky(M + h * jnp.diag(dimp))
+        qdd = jax.scipy.linalg.cho_solve((L, True), tau - C - dimp * qd)
         qd_free = qd + h * qdd
         if impulse:
+            pg = (pair_contact_geometry(model, params, kin, pair_contacts)
+                  if pair_contacts is not None and pair_contacts.count
+                  else None)
             qd_new, body_cf, body_ct = solve_constraints(
                 model, params, sim, kin, contacts, q, qd_free, L, h,
-                height_fn)
+                height_fn, pair_geom=pg, attractors=attractors)
         else:
             qd_new = qd_free
         q_new = integrate_position(model, q, qd_new, h)

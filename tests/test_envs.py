@@ -159,3 +159,72 @@ def test_humanoid_reset_obs():
     # spawn height 1.34 (humanoid.py:178-181) with ±0.2 dof jitter
     z = np.asarray(state.art.q[:, 2])
     assert (np.abs(z - 1.34) < 1e-5).all()
+
+
+def test_anymal_terrain_smoke():
+    """AnymalTerrain on a small curriculum grid: 188-D obs, terrain spawn,
+    decimated PD, no NaNs (reference tasks/anymal_terrain.py)."""
+    cfg = {"env": {"terrain": {
+        "terrainType": "trimesh", "curriculum": True, "maxInitMapLevel": 0,
+        "mapLength": 8.0, "mapWidth": 8.0, "numLevels": 2, "numTerrains": 3,
+        "terrainProportions": [0.1, 0.1, 0.35, 0.25, 0.2]},
+        "learn": {}, "control": {}, "baseInitState": {},
+        "randomCommandVelocityRanges": {}},
+        "sim": {"dt": 0.005, "substeps": 1}}
+    from isaacgymenvs_tpu.envs.anymal_terrain import AnymalTerrain
+    env = AnymalTerrain(cfg, num_envs=4)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 188)
+    step = jax.jit(env.step)
+    for _ in range(10):
+        state, ts = step(state, jnp.zeros((4, 12)))
+    assert not jnp.isnan(ts.obs).any()
+    assert "terrain_level_mean" in ts.info and "rew_lin_vel_xy" in ts.info
+    # spawned on terrain cells, settled above its origin
+    z_rel = np.asarray(state.art.q[:, 2] - state.aux["env_origins"][:, 2])
+    assert (z_rel > 0.2).all()
+
+
+def test_a1_terrain_smoke():
+    """A1Terrain (fork task): 48-D obs, direct torque control, plane."""
+    env = isaacgymenvs_tpu.make(task="A1Terrain", num_envs=4)
+    assert env.num_obs == 48 and env.num_acts == 12
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(10):
+        state, ts = step(state, jnp.zeros((4, 12)))
+    assert not jnp.isnan(ts.obs).any()
+    assert "rew_gait" in ts.info and "rew_foot_contact" in ts.info
+
+
+def test_ball_balance_smoke():
+    """BallBalance: multi-actor scene (tray + free ball), attractor-pinned
+    feet, implicit PD, sphere-cylinder pair contact (tasks/ball_balance.py)."""
+    env = isaacgymenvs_tpu.make(task="BallBalance", num_envs=4)
+    assert env.num_obs == 24 and env.num_acts == 3
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(30):
+        state, ts = step(state, jnp.zeros((4, 3)))
+    assert not jnp.isnan(ts.obs).any()
+    # tray held up by pinned legs + PD (z ≈ 0.56, never collapsed)
+    z = np.asarray(state.art.q[:, 2])
+    assert (z > 0.4).all(), f"tray collapsed: z={z}"
+    assert (np.asarray(ts.reward) > 0).all()
+
+
+def test_aerial_tasks_smoke():
+    """Ingenuity + Quadcopter: procedural MJCF models, LOCAL_SPACE thrust
+    via per-substep force_fn (tasks/ingenuity.py:359, quadcopter.py:330)."""
+    for task, na in [("Ingenuity", 6), ("Quadcopter", 12)]:
+        env = isaacgymenvs_tpu.make(task=task, num_envs=2)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        z0 = np.asarray(state.art.q[:, 2]).copy()
+        for _ in range(20):
+            a = jnp.zeros((2, na)).at[:, 2].set(0.6).at[:, na - 1].set(0.6)
+            state, ts = step(state, a)
+        assert not jnp.isnan(ts.obs).any()
+        # upward thrust must raise (or hold) the copter vs free fall
+        z = np.asarray(state.art.q[:, 2])
+        assert (z > z0 - 0.3).all(), f"{task} fell: {z0} -> {z}"
