@@ -121,6 +121,24 @@ class ArticulationModel:
     # merged link name → surviving body name (URDF collapse_fixed_joints)
     body_aliases: dict = dataclasses.field(default_factory=dict)
 
+    # --- fixed tendons (MJCF <tendon><fixed>): linear joint couplings ----
+    # tendon t spans entries ten_adr[t]:ten_adr[t+1] of (ten_jnt, ten_coef);
+    # length L_t = Σ coef·q[jnt]; limited to ten_range (ShadowHand distal
+    # couplings, open_ai_assets/hand/shared.xml)
+    ten_adr: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    ten_jnt: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    ten_coef: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    ten_range: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), np.float32))
+    ten_names: tuple = ()
+
+    @property
+    def ntendon(self) -> int:
+        return len(self.ten_range)
+
     @property
     def nbody(self) -> int:
         return len(self.body_parent)
@@ -221,13 +239,18 @@ class SimParams:
     # joint limits (penalty; only used by the compliant path)
     limit_stiffness: float = 2000.0
     limit_damping_ratio: float = 1.0
+    # PhysX-style velocity clamps (asset options max_angular_velocity,
+    # e.g. tasks/humanoid.py:158: 100 rad/s; PhysX default 64)
+    max_angular_velocity: float = 64.0
+    max_linear_velocity: float = 1000.0
 
     def __hash__(self):
         return hash((self.dt, self.substeps, self.gravity, self.solver,
                      self.solver_iterations, self.contact_beta,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
-                     self.limit_stiffness, self.limit_damping_ratio))
+                     self.limit_stiffness, self.limit_damping_ratio,
+                     self.max_angular_velocity, self.max_linear_velocity))
 
 
 @jax.tree_util.register_dataclass

@@ -20,6 +20,10 @@ isaacgym_task_map = {
     "BallBalance": _lazy("ball_balance", "BallBalance"),
     "Ingenuity": _lazy("ingenuity", "Ingenuity"),
     "Quadcopter": _lazy("quadcopter", "Quadcopter"),
+    "ShadowHand": _lazy("shadow_hand", "ShadowHand"),
+    "AllegroHand": _lazy("allegro_hand", "AllegroHand"),
+    "HumanoidAMP": _lazy("humanoid_amp", "HumanoidAMP"),
+    "FrankaCabinet": _lazy("franka_cabinet", "FrankaCabinet"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

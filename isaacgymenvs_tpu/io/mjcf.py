@@ -271,16 +271,43 @@ class _Builder:
         b["inertia"] = R @ ic @ R.T
 
 
+def _resolve_includes(el, base_dir):
+    """Recursively splice `<include file=…>` contents (OpenAI hand assets:
+    shadow_hand.xml includes shared.xml / robot.xml)."""
+    import os
+    i = 0
+    children = list(el)
+    for child in children:
+        if child.tag == "include":
+            inc_path = os.path.join(base_dir, child.get("file"))
+            inc_root = ET.parse(inc_path).getroot()
+            _resolve_includes(inc_root, os.path.dirname(inc_path))
+            idx = list(el).index(child)
+            el.remove(child)
+            # an included <mujoco> splices its children; other roots splice
+            # themselves
+            nodes = list(inc_root) if inc_root.tag == "mujoco" else [inc_root]
+            for off, node in enumerate(nodes):
+                el.insert(idx + off, node)
+        else:
+            _resolve_includes(child, base_dir)
+        i += 1
+
+
 def load_mjcf(path: str, *, density: float = 1000.0) -> T.ArticulationModel:
     """Parse an MJCF file into an ArticulationModel (forest incl. world geoms).
 
     `path` may also be a raw XML string (procedurally-authored assets —
     the reference writes balance_bot.xml / ingenuity MJCF at runtime,
     `tasks/ball_balance.py:135-224`)."""
+    import os
     if isinstance(path, str) and path.lstrip().startswith("<"):
         root = ET.fromstring(path)
+        base_dir = "."
     else:
         root = ET.parse(path).getroot()
+        base_dir = os.path.dirname(os.path.abspath(path))
+    _resolve_includes(root, base_dir)
 
     compiler = root.find("compiler")
     angle_scale = _DEG2RAD
@@ -342,6 +369,20 @@ def load_mjcf(path: str, *, density: float = 1000.0) -> T.ArticulationModel:
                 name=el.get("name", a.get("joint", f"act{len(acts)}")),
             ))
 
+    # fixed tendons (linear joint couplings with range limits)
+    tendons = []
+    for tsec in root.findall("tendon"):
+        for fx in tsec.findall("fixed"):
+            if fx.get("limited", "false") not in ("true", "1") \
+                    or fx.get("range") is None:
+                continue
+            joints_coefs = [(j.get("joint"), float(j.get("coef", 1.0)))
+                            for j in fx.findall("joint")]
+            tendons.append(dict(
+                name=fx.get("name", f"tendon{len(tendons)}"),
+                range=_parse_vec(fx.get("range"), 2),
+                joints=joints_coefs))
+
     # custom init_qpos
     init_qpos = None
     custom = root.find("custom")
@@ -350,10 +391,12 @@ def load_mjcf(path: str, *, density: float = 1000.0) -> T.ArticulationModel:
             if num.get("name") == "init_qpos":
                 init_qpos = _parse_vec(num.get("data"))
 
-    return _finalize(root.get("model", "mjcf"), builder, acts, init_qpos)
+    return _finalize(root.get("model", "mjcf"), builder, acts, init_qpos,
+                     tendons)
 
 
-def _finalize(name, builder, acts, init_qpos) -> T.ArticulationModel:
+def _finalize(name, builder, acts, init_qpos,
+              tendons=()) -> T.ArticulationModel:
     bodies, joints, geoms = builder.bodies, builder.joints, builder.geoms
     nb = len(bodies)
 
@@ -437,4 +480,13 @@ def _finalize(name, builder, acts, init_qpos) -> T.ArticulationModel:
         geom_conaffinity=np.array([g["conaffinity"] for g in geoms], dtype=np.int32),
         geom_names=tuple(g["name"] for g in geoms),
         init_qpos=f32(default_qpos),
+        ten_adr=np.array(
+            [0] + list(np.cumsum([len(t["joints"]) for t in tendons])),
+            np.int32),
+        ten_jnt=np.array([jnt_name_to_idx[jn] for t in tendons
+                          for jn, _ in t["joints"]], np.int32),
+        ten_coef=f32([c for t in tendons for _, c in t["joints"]]),
+        ten_range=f32([t["range"] for t in tendons]).reshape(
+            len(tendons), 2),
+        ten_names=tuple(t["name"] for t in tendons),
     )

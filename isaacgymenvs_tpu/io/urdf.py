@@ -19,6 +19,7 @@ Supported subset:
 from __future__ import annotations
 
 import math
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -68,7 +69,8 @@ def _parse_geometry(geo_el):
         if g.tag == "sphere":
             return T.GEOM_SPHERE, np.array([float(g.get("radius", 0.1)), 0.0, 0.0])
         if g.tag == "mesh":
-            return T.GEOM_MESH, np.zeros(3)
+            return ("mesh", g.get("filename"),
+                    _parse_vec(g.get("scale"), 3, np.ones(3)))
     return None
 
 
@@ -196,7 +198,19 @@ def load_urdf(path: str, *, fix_base: bool = True,
             parsed = _parse_geometry(c.find("geometry"))
             if parsed is None:
                 continue
-            gtype, size = parsed
+            if parsed[0] == "mesh":
+                # mesh collision → bounding-box primitive (the TPU analogue
+                # of PhysX convex decomposition; Allegro/Franka assets)
+                from .mesh import mesh_bounding_box, resolve_mesh_path
+                mp = resolve_mesh_path(parsed[1], os.path.dirname(
+                    os.path.abspath(path)))
+                if mp is None:
+                    continue
+                center, half = mesh_bounding_box(mp, parsed[2])
+                gtype, size = T.GEOM_BOX, half
+                gp = gp + _quat_to_mat_np(gq) @ center
+            else:
+                gtype, size = parsed
             cols.append(dict(type=gtype, size=size, pos=gp, quat=gq,
                              name=f"{lname}_col{len(cols)}"))
         if not has_matrix and cols:

@@ -23,6 +23,7 @@ class MLP(nn.Module):
     units: Sequence[int]
     activation: str = "elu"
     dtype: jnp.dtype = jnp.float32
+    out_dim: Optional[int] = None   # optional linear head (no activation)
 
     @nn.compact
     def __call__(self, x):
@@ -30,6 +31,8 @@ class MLP(nn.Module):
         for u in self.units:
             x = nn.Dense(u, dtype=self.dtype)(x)
             x = act(x)
+        if self.out_dim is not None:
+            x = nn.Dense(self.out_dim, dtype=jnp.float32)(x)
         return x
 
 

@@ -66,6 +66,11 @@ class PPOConfig:
     activation: str = "elu"
     separate: bool = False
     mixed_precision: bool = True   # bf16 trunk matmuls on TPU
+    # asymmetric critic over privileged states (central_value_config,
+    # reference cfg/train/ShadowHandPPOAsymm*.yaml)
+    central_value: bool = False
+    cv_units: tuple = (512, 256, 128)
+    cv_activation: str = "elu"
 
     @staticmethod
     def from_rlgames(params: dict) -> "PPOConfig":
@@ -74,7 +79,16 @@ class PPOConfig:
         net = params.get("network", {})
         mlp = net.get("mlp", {})
         rs = cfg.get("reward_shaper", {})
+        cvc = cfg.get("central_value_config")
+        cv_kwargs = {}
+        if cvc:
+            cv_mlp = cvc.get("network", {}).get("mlp", {})
+            cv_kwargs = dict(
+                central_value=True,
+                cv_units=tuple(cv_mlp.get("units", (512, 256, 128))),
+                cv_activation=cv_mlp.get("activation", "elu"))
         return PPOConfig(
+            **cv_kwargs,
             horizon_length=cfg.get("horizon_length", 16),
             minibatch_size=cfg.get("minibatch_size", 32768),
             mini_epochs=cfg.get("mini_epochs", 4),
@@ -119,6 +133,10 @@ class TrainState:
     # episode bookkeeping (on-device; RLGPUAlgoObserver equivalent)
     cum_reward: Any     # (N,) raw-reward episode accumulator
     cum_length: Any     # (N,)
+    # asymmetric critic (central_value_config) extras
+    cv_params: Any = None
+    state_rms: Any = None
+    states: Any = None  # (N, num_states) privileged states
 
 
 def _gauss_logp(mu, log_sigma, action):
@@ -149,6 +167,13 @@ class PPO:
         self.net = ActorCritic(num_actions=env.num_acts, units=cfg.units,
                                activation=cfg.activation,
                                separate=cfg.separate, dtype=dtype)
+        self.cv_net = None
+        if cfg.central_value:
+            from .networks import MLP
+            assert getattr(env, "num_states", 0) > 0, \
+                "central_value requires env.num_states > 0"
+            self.cv_net = MLP(units=cfg.cv_units,
+                              activation=cfg.cv_activation, out_dim=1)
         if cfg.truncate_grads:
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
                              optax.scale_by_adam(eps=1e-8))
@@ -173,15 +198,26 @@ class PPO:
         env_state, obs = self.env.reset(k_env)
         params = self.net.init(k_net, obs[:1])
         n = self.env.num_envs
+        cv_params = state_rms = states = None
+        if self.cfg.central_value:
+            ns = self.env.num_states
+            cv_params = self.cv_net.init(jax.random.fold_in(k_net, 1),
+                                         jnp.zeros((1, ns)))
+            state_rms = RunningMeanStd.create((ns,))
+            states = jnp.zeros((n, ns))
+            opt_state = self.tx.init((params, cv_params))
+        else:
+            opt_state = self.tx.init(params)
         return TrainState(
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=opt_state,
             lr=jnp.asarray(self.cfg.learning_rate),
             obs_rms=RunningMeanStd.create((self.env.num_obs,)),
             value_rms=RunningMeanStd.create(()),
             env_state=env_state, obs=obs, key=key,
             epoch=jnp.asarray(0, jnp.int32),
             cum_reward=jnp.zeros(n), cum_length=jnp.zeros(n, jnp.int32),
+            cv_params=cv_params, state_rms=state_rms, states=states,
         )
 
     # ------------------------------------------------------------- epoch fn
@@ -193,11 +229,23 @@ class PPO:
         cfg = self.cfg
         env = self.env
 
+        cv = cfg.central_value
+
+        def value_of(obs, states):
+            """Normalized value estimate: central net on privileged states
+            (asymmetric critic) or the policy's value head."""
+            if cv:
+                s = (ts.state_rms.normalize(states)
+                     if cfg.normalize_input else states)
+                return self.cv_net.apply(ts.cv_params, s)[..., 0]
+            return self._forward(ts.params, ts.obs_rms, obs)[2]
+
         # ---------------- rollout (lax.scan over horizon) ------------------
         def rollout_step(carry, _):
-            env_state, obs, key, cum_r, cum_l = carry
+            env_state, obs, states, key, cum_r, cum_l = carry
             key, k_act = jax.random.split(key)
-            mu, log_sig, v_n = self._forward(ts.params, ts.obs_rms, obs)
+            mu, log_sig, _vh = self._forward(ts.params, ts.obs_rms, obs)
+            v_n = value_of(obs, states)
             value = ts.value_rms.unnormalize(v_n) if cfg.normalize_value else v_n
             sigma = jnp.exp(log_sig)
             action = mu + sigma * jax.random.normal(k_act, mu.shape)
@@ -217,15 +265,22 @@ class PPO:
             cum_l = jnp.where(d, 0, cum_l)
             data = dict(obs=obs, action=action, logp=logp, value=value,
                         reward=reward, done=d, mu=mu)
+            if cv:
+                data["states"] = states
+            new_states = step_ts.states if cv else states
             stats = (ep_r_sum, ep_l_sum, ep_n)
-            return (env_state, step_ts.obs, key, cum_r, cum_l), (data, stats)
+            return (env_state, step_ts.obs, new_states, key, cum_r, cum_l), \
+                (data, stats)
 
-        carry0 = (ts.env_state, ts.obs, ts.key, ts.cum_reward, ts.cum_length)
-        (env_state, last_obs, key, cum_r, cum_l), (batch, ep_stats) = \
+        carry0 = (ts.env_state, ts.obs, ts.states, ts.key, ts.cum_reward,
+                  ts.cum_length)
+        (env_state, last_obs, last_states, key, cum_r, cum_l), \
+            (batch, ep_stats) = \
             jax.lax.scan(rollout_step, carry0, None, length=cfg.horizon_length)
 
         # bootstrap value for the final obs
-        _, log_sig0, v_last_n = self._forward(ts.params, ts.obs_rms, last_obs)
+        _, log_sig0, _ = self._forward(ts.params, ts.obs_rms, last_obs)
+        v_last_n = value_of(last_obs, last_states)
         v_last = (ts.value_rms.unnormalize(v_last_n) if cfg.normalize_value
                   else v_last_n)
 
@@ -247,6 +302,10 @@ class PPO:
                    if cfg.normalize_input else ts.obs_rms)
         value_rms = (ts.value_rms.update(returns.reshape(-1))
                      if cfg.normalize_value else ts.value_rms)
+        state_rms = ts.state_rms
+        if cv and cfg.normalize_input:
+            state_rms = ts.state_rms.update(
+                batch["states"].reshape(-1, env.num_states))
 
         # flatten (T, N) → (T·N,)
         flat = jax.tree_util.tree_map(
@@ -263,10 +322,18 @@ class PPO:
         total = flat_returns.shape[0]
 
         # ---------------- minibatch SGD with adaptive-KL LR ----------------
-        def loss_fn(params, mb):
+        def loss_fn(params_all, mb):
+            if cv:
+                params, cv_params = params_all
+            else:
+                params = params_all
             o = (obs_rms.normalize(mb["obs"]) if cfg.normalize_input
                  else mb["obs"])
             mu, log_sig, v_n = self.net.apply(params, o)
+            if cv:
+                s = (state_rms.normalize(mb["states"])
+                     if cfg.normalize_input else mb["states"])
+                v_n = self.cv_net.apply(cv_params, s)[..., 0]
             logp = _gauss_logp(mu, log_sig, mb["action"])
             ratio = jnp.exp(logp - mb["logp"])
             surr1 = mb["adv"] * ratio
@@ -309,6 +376,8 @@ class PPO:
                       logp=take(flat["logp"]), mu=take(flat["mu"]),
                       adv=take(flat_adv), old_v=take(old_values_n),
                       target=take(targets_n), old_log_sig=old_log_sig)
+            if cv:
+                mb["states"] = take(flat["states"])
             (loss, aux), grads = grad_fn(params, mb)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(
@@ -331,12 +400,16 @@ class PPO:
             return jax.lax.scan(mb_update, carry, idxs)
 
         key, *ekeys = jax.random.split(key, cfg.mini_epochs + 1)
-        carry = (ts.params, ts.opt_state, ts.lr, key)
+        params0 = (ts.params, ts.cv_params) if cv else ts.params
+        carry = (params0, ts.opt_state, ts.lr, key)
         metrics_mb = []
         for ek in ekeys:  # static unroll over mini_epochs (small)
             carry, m = mini_epoch(carry, ek)
             metrics_mb.append(m)
         params, opt_state, lr, key = carry
+        cv_params = None
+        if cv:
+            params, cv_params = params
 
         metrics = dict(
             loss=jnp.mean(jnp.stack([m[0] for m in metrics_mb])),
@@ -355,7 +428,9 @@ class PPO:
             params=params, opt_state=opt_state, lr=lr,
             obs_rms=obs_rms, value_rms=value_rms,
             env_state=env_state, obs=last_obs, key=key,
-            epoch=ts.epoch + 1, cum_reward=cum_r, cum_length=cum_l)
+            epoch=ts.epoch + 1, cum_reward=cum_r, cum_length=cum_l,
+            cv_params=cv_params, state_rms=state_rms,
+            states=last_states if cv else None)
         return new_ts, metrics
 
     # ------------------------------------------------------------------ eval

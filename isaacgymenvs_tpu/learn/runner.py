@@ -68,13 +68,30 @@ class Runner:
 
     def __init__(self, env, train_params: dict, *, seed: int = 0,
                  logdir: str = "runs/default", max_epochs: Optional[int] = None):
-        cfg = PPOConfig.from_rlgames(train_params.get("params", train_params))
-        if max_epochs is not None:
-            import dataclasses
-            cfg = dataclasses.replace(cfg, max_epochs=max_epochs)
+        params = train_params.get("params", train_params)
+        algo = params.get("algo", {}).get("name", "a2c_continuous")
+        if algo == "sac":
+            from .sac import SAC, SACConfig
+            cfg = SACConfig.from_rlgames(params)
+            if max_epochs is not None:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, max_epochs=max_epochs)
+            self.agent = SAC(env, cfg, seed=seed)
+        elif algo == "amp_continuous":
+            from .amp import AMP, AMPConfig
+            cfg = AMPConfig.from_rlgames(params)
+            if max_epochs is not None:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, max_epochs=max_epochs)
+            self.agent = AMP(env, cfg, seed=seed)
+        else:
+            cfg = PPOConfig.from_rlgames(params)
+            if max_epochs is not None:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, max_epochs=max_epochs)
+            self.agent = PPO(env, cfg, seed=seed)
         self.cfg = cfg
         self.env = env
-        self.agent = PPO(env, cfg, seed=seed)
         self.logdir = logdir
         self.writer = MetricsWriter(logdir)
         self.save_freq = train_params.get("params", {}).get(
@@ -87,34 +104,35 @@ class Runner:
         if checkpoint:
             ts, _ = load_checkpoint(checkpoint)
         best = -np.inf
-        steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
+        steps_per_epoch = getattr(
+            self.cfg, "horizon_length",
+            getattr(self.cfg, "num_steps_per_episode", 1)) \
+            * self.env.num_envs
         nn_dir = os.path.join(self.logdir, "nn")
         t_start = time.time()
         ep_r_acc = ep_n_acc = ep_l_acc = 0.0
         for e in range(int(ts.epoch), self.cfg.max_epochs):
             t0 = time.time()
             ts, m = self.agent.epoch_fn(ts)
-            jax.block_until_ready(ts.lr)
+            jax.block_until_ready(ts.epoch)
             dt_epoch = time.time() - t0
             fps = steps_per_epoch / dt_epoch
             ep_r_acc += float(m["episode_reward_sum"])
             ep_l_acc += float(m["episode_length_sum"])
             ep_n_acc += float(m["episode_count"])
             ep_rew = ep_r_acc / max(ep_n_acc, 1)
-            scalars = {
-                "losses/total": m["loss"], "losses/a_loss": m["a_loss"],
-                "losses/c_loss": m["c_loss"], "losses/entropy": m["entropy"],
-                "info/kl": m["kl"], "info/lr": m["lr"],
-                "rewards/step": m["reward_mean_step"],
+            scalars = {f"train/{k}": v for k, v in m.items()
+                       if not k.startswith("episode_")}
+            scalars.update({
                 "rewards/episode": ep_rew,
                 "episode_lengths/mean": ep_l_acc / max(ep_n_acc, 1),
                 "performance/step_fps": fps,
-            }
+            })
             self.writer.write(e, scalars)
             if e % 10 == 0 or e == self.cfg.max_epochs - 1:
+                kl = float(m.get("kl", 0.0))
                 print(f"epoch {e:5d} | ep_rew {ep_rew:10.2f} | "
-                      f"fps {fps:9.0f} | kl {float(m['kl']):.4f} | "
-                      f"lr {float(m['lr']):.1e}", flush=True)
+                      f"fps {fps:9.0f} | kl {kl:.4f}", flush=True)
                 if ep_n_acc > 0:
                     ep_r_acc = ep_l_acc = ep_n_acc = 0.0
             if self.save_freq and e and e % self.save_freq == 0:

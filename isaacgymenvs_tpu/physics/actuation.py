@@ -51,7 +51,12 @@ def actuation_terms(model: T.ArticulationModel, params: T.PhysParams,
                 f = jnp.clip(f, lo, hi)
             tau = tau.at[va].add(f)
         elif trn == T.ACT_POSITION:
-            tau = tau.at[va].add(params.act_kp[a] * (gear * ctrl[a] - q[qa]))
+            f = params.act_kp[a] * (gear * ctrl[a] - q[qa])
+            lo, hi = (float(model.act_forcerange[a][0]),
+                      float(model.act_forcerange[a][1]))
+            if math.isfinite(lo) or math.isfinite(hi):
+                f = jnp.clip(f, lo, hi)  # effort limit on the explicit part
+            tau = tau.at[va].add(f)
             d_kd = d_kd.at[va].add(params.act_kd[a])
             d_kp = d_kp.at[va].add(params.act_kp[a])
         else:  # ACT_VELOCITY

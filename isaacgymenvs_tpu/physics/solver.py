@@ -72,11 +72,14 @@ def _dof_body_mask(model: T.ArticulationModel) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _limit_rows(model: T.ArticulationModel):
-    """Static limit-row metadata: (dof_idx, sign, bound) per row.
+    """Static linear position-limit rows: W (nl, nv), sign, bound.
 
-    Two rows per limited 1-dof joint: lower (+qd ≥ bias) and upper
-    (−qd ≥ bias)."""
-    dofs, signs, bounds = [], [], []
+    Constraint per row: sign·(W·qpos_dof − bound) ≥ 0. Covers joint range
+    limits (two rows per limited 1-dof joint) AND fixed-tendon ranges
+    (ShadowHand distal couplings, `<tendon><fixed range>` — two rows per
+    tendon with the coupling coefficients as the W row)."""
+    rows_w, signs, bounds = [], [], []
+    nv = model.nv
     for ji in range(model.njnt):
         if not model.jnt_limited[ji]:
             continue
@@ -84,17 +87,31 @@ def _limit_rows(model: T.ArticulationModel):
             continue
         va = int(model.jnt_vadr[ji])
         lo, hi = float(model.jnt_range[ji][0]), float(model.jnt_range[ji][1])
-        dofs += [va, va]
+        w = np.zeros(nv, np.float32)
+        w[va] = 1.0
+        rows_w += [w, w]
         signs += [1.0, -1.0]
         bounds += [lo, hi]
-    return (np.asarray(dofs, np.int32), np.asarray(signs, np.float32),
-            np.asarray(bounds, np.float32))
+    for t in range(model.ntendon):
+        a0, a1 = int(model.ten_adr[t]), int(model.ten_adr[t + 1])
+        w = np.zeros(nv, np.float32)
+        for k in range(a0, a1):
+            ji = int(model.ten_jnt[k])
+            w[int(model.jnt_vadr[ji])] += float(model.ten_coef[k])
+        lo, hi = float(model.ten_range[t][0]), float(model.ten_range[t][1])
+        rows_w += [w, w]
+        signs += [1.0, -1.0]
+        bounds += [lo, hi]
+    W = (np.stack(rows_w) if rows_w
+         else np.zeros((0, nv), np.float32))
+    return (W, np.asarray(signs, np.float32), np.asarray(bounds, np.float32))
 
 
-def _qpos_1dof(model, q):
-    """(njnt,) q value of each 1-dof joint (0 for free/ball) — traced."""
+def _qpos_dof(model, q):
+    """(nv,) q value per dof for 1-dof joints (0 for free/ball) — traced."""
     vals = []
-    for ji in range(model.njnt):
+    for k in range(model.nv):
+        ji = int(model.dof_jnt[k])
         if int(model.jnt_type[ji]) in (T.HINGE, T.SLIDE):
             vals.append(q[int(model.jnt_qadr[ji])])
         else:
@@ -119,8 +136,8 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     ncg = contacts.count
     ncp = pair_geom[0].shape[0] if pair_geom is not None else 0
     nc = ncg + ncp
-    lim_dof, lim_sign, lim_bound = _limit_rows(model)
-    nl = len(lim_dof)
+    lim_W, lim_sign, lim_bound = _limit_rows(model)
+    nl = len(lim_sign)
     na = attractors.count if attractors is not None else 0
     if nc == 0 and nl == 0 and na == 0:
         return qd_free, jnp.zeros((nb, 3), dtype), jnp.zeros((nb, 3), dtype)
@@ -195,16 +212,15 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     rows_b = [Jn @ qd_free + jnp.where(active, bias, 0.0),
               Jt1 @ qd_free, Jt2 @ qd_free]
 
-    # ---- joint-limit rows -------------------------------------------------
+    # ---- joint-limit + tendon-range rows -----------------------------------
     if nl:
-        qj = _qpos_1dof(model, q)
-        jnt_of_dof = model.dof_jnt[np.asarray(lim_dof)]
-        qv = qj[jnp.asarray(jnt_of_dof)]
+        qdof = _qpos_dof(model, q)
+        W = jnp.asarray(lim_W, dtype)
+        L = W @ qdof                                # linear position value
         sign = jnp.asarray(lim_sign)
         bound = jnp.asarray(lim_bound)
-        viol = sign * (qv - bound)                  # ≤ 0 when violating
-        Jl = jnp.zeros((nl, nv), dtype)
-        Jl = Jl.at[jnp.arange(nl), jnp.asarray(lim_dof)].set(sign)
+        viol = sign * (L - bound)                   # ≤ 0 when violating
+        Jl = sign[:, None] * W
         lim_active = viol < 0.0
         bias_l = jnp.clip(sim.contact_beta * viol / h,
                           -sim.max_depenetration_velocity, 0.0)
@@ -228,13 +244,26 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
 
     J = jnp.concatenate(rows_J, axis=0)             # (nr,nv)
     b = jnp.concatenate(rows_b, axis=0)
+    nr = J.shape[0]
 
-    # Delassus A = J M⁻¹ Jᵀ via the cholesky factor — batched matmuls
+    # Delassus operator A = J M⁻¹ Jᵀ kept FACTORED: A@x = J (M⁻¹Jᵀ x).
+    # Never materializing the (nr,nr) matrix keeps memory O(nr·nv) — at
+    # hand-task row counts (≈400) × thousands of envs the dense form would
+    # not fit HBM — and two (nr,nv) matvecs beat one (nr,nr) matvec.
     MinvJT = jax.scipy.linalg.cho_solve((L_chol, True), J.T)   # (nv,nr)
-    A = J @ MinvJT                                  # (nr,nr)
 
-    # PGD step size: 1 / max row abs sum (Gershgorin bound on λ_max)
-    gamma = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
+    def Amv(x):
+        return J @ (MinvJT @ x)
+
+    # PGD step size from power iteration on A (tight λ_max estimate)
+    def pow_body(i, v):
+        w = Amv(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+
+    v0 = jnp.ones((nr,), dtype) / jnp.sqrt(nr)
+    v = jax.lax.fori_loop(0, 16, pow_body, v0)
+    lam_max = jnp.linalg.norm(Amv(v))
+    gamma = 1.0 / jnp.maximum(2.0 * lam_max, 1e-6)
 
     def project(lam):
         out = lam
@@ -250,11 +279,26 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
             out = out.at[3 * nc:3 * nc + nl].set(ll)
         return out  # attractor rows (equality) stay unprojected
 
-    def body(i, lam):
-        return project(lam - gamma * (A @ lam + b))
+    # APGD (accelerated projected gradient, Heyn/Negrut-style): Nesterov
+    # momentum with gradient-alignment restart — O(1/k²) on the contact
+    # LCP vs O(1/k) for plain PGD; same per-iteration cost (2 matvecs).
+    def body(i, carry):
+        lam, y, theta = carry
+        g = Amv(y) + b
+        lam_new = project(y - gamma * g)
+        theta_new = 0.5 * (jnp.sqrt(theta ** 4 + 4 * theta ** 2)
+                           - theta ** 2)
+        beta = theta * (1 - theta) / (theta ** 2 + theta_new)
+        y_new = lam_new + beta * (lam_new - lam)
+        # adaptive restart: if momentum direction opposes the gradient
+        restart = jnp.sum(g * (lam_new - lam)) > 0
+        y_new = jnp.where(restart, lam_new, y_new)
+        theta_new = jnp.where(restart, 1.0, theta_new)
+        return lam_new, y_new, theta_new
 
-    lam = jax.lax.fori_loop(0, sim.solver_iterations, body,
-                            jnp.zeros(J.shape[0], dtype))
+    lam0 = jnp.zeros(J.shape[0], dtype)
+    lam, _, _ = jax.lax.fori_loop(0, sim.solver_iterations, body,
+                                  (lam0, lam0, jnp.asarray(1.0, dtype)))
 
     qd_new = qd_free + MinvJT @ lam
 

@@ -23,6 +23,30 @@ from .kinematics import forward_kinematics
 from .solver import solve_constraints
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _vmax_np(model: T.ArticulationModel, max_ang: float, max_lin: float):
+    """(nv,) per-dof velocity bound: linear dofs get max_lin, angular
+    dofs (free-joint rotation, ball, hinge) get max_ang."""
+    import numpy as np
+    v = np.full(model.nv, max_ang, np.float32)
+    for ji in range(model.njnt):
+        jt = int(model.jnt_type[ji])
+        va = int(model.jnt_vadr[ji])
+        if jt == T.FREE:
+            v[va:va + 3] = max_lin
+        elif jt == T.SLIDE:
+            v[va] = max_lin
+    return v
+
+
+def _vmax_vec(model, sim):
+    return jnp.asarray(_vmax_np(model, sim.max_angular_velocity,
+                                sim.max_linear_velocity))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StepInfo:
@@ -126,6 +150,10 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
                 height_fn, pair_geom=pg, attractors=attractors)
         else:
             qd_new = qd_free
+        # PhysX-style velocity clamps — bound runaway energy under extreme
+        # actions exactly like max_angular_velocity does in the reference
+        qd_new = jnp.clip(qd_new, -_vmax_vec(model, sim),
+                          _vmax_vec(model, sim))
         q_new = integrate_position(model, q, qd_new, h)
         return (q_new, qd_new), (body_cf, body_ct, (qd_new - qd) / h, tau)
 

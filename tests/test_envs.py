@@ -228,3 +228,61 @@ def test_aerial_tasks_smoke():
         # upward thrust must raise (or hold) the copter vs free fall
         z = np.asarray(state.art.q[:, 2])
         assert (z > z0 - 0.3).all(), f"{task} fell: {z0} -> {z}"
+
+
+def test_shadow_hand_smoke():
+    """ShadowHand: 24-DoF hand + free cube, tendon couplings, goal resets
+    (tasks/shadow_hand.py). Object must settle in the palm, not fall."""
+    env = isaacgymenvs_tpu.make(task="ShadowHand", num_envs=2)
+    assert env.num_obs == 211 and env.num_acts == 20
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(25):
+        state, ts = step(state, jnp.zeros((2, 20)))
+    assert not jnp.isnan(ts.obs).any()
+    # cube rests in the hand (never falls past fall_dist in 25 zero-action
+    # steps; spawn 0.6, palm ≈ 0.48)
+    z = np.asarray(state.art.q[:, env.obj_q + 2])
+    assert (z > 0.4).all(), f"object fell through the hand: z={z}"
+    assert "consecutive_successes" in ts.info
+
+
+def test_allegro_hand_constructs():
+    """AllegroHand: mesh→box approximations, 16 actuated dofs, obs 88."""
+    env = isaacgymenvs_tpu.make(task="AllegroHand", num_envs=2)
+    assert env.num_obs == 88 and env.num_acts == 16
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 88)
+    assert not jnp.isnan(obs).any()
+
+
+def test_humanoid_amp_env():
+    """HumanoidAMP: mocap state init, AMP obs window, demo fetch
+    (tasks/humanoid_amp.py + humanoid_amp_base.py)."""
+    env = isaacgymenvs_tpu.make(task="HumanoidAMP", num_envs=4)
+    assert env.num_obs == 105 and env.num_acts == 28
+    assert env.num_amp_obs == 210
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 105)
+    assert not jnp.isnan(obs).any()
+    # mocap reference-state init puts the pelvis at walking/running heights
+    z = np.asarray(state.art.q[:, 2])
+    assert (z > 0.3).all() and (z < 1.5).all()
+    demo = env.fetch_amp_obs_demo(jax.random.PRNGKey(1), 16)
+    assert demo.shape == (16, 210)
+    assert bool(jnp.all(jnp.isfinite(demo)))
+    # demo features and live features share the same layout/scale
+    assert float(jnp.abs(demo).max()) < 50.0
+
+
+def test_franka_cabinet_constructs():
+    """FrankaCabinet: franka+cabinet composed scene, grasp frames, 23-D obs.
+    Full stepping is validated on TPU (XLA:CPU mis-schedules this model's
+    deep fixed-base chain — a backend pathology, see io docs)."""
+    env = isaacgymenvs_tpu.make(task="FrankaCabinet", num_envs=2)
+    assert env.num_obs == 23 and env.num_acts == 9
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 23)
+    assert not jnp.isnan(obs).any()
+    # drawer closed at reset
+    assert float(jnp.abs(state.art.q[:, env.drawer_dof]).max()) < 1e-5

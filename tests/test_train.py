@@ -71,3 +71,56 @@ def test_determinism_same_seed():
     np.testing.assert_array_equal(runs[0][0], runs[1][0])
     np.testing.assert_array_equal(runs[0][1], runs[1][1])
     np.testing.assert_array_equal(runs[0][2], runs[1][2])
+
+
+def test_sac_learns_cartpole():
+    """SAC (rl_games `sac` semantics): twin-Q, learnable alpha, replay ring
+    buffer — reward must rise on Cartpole."""
+    import numpy as np
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.learn.sac import SAC, SACConfig
+
+    env = isaacgymenvs_tpu.make(task="Cartpole", num_envs=64)
+    cfg = SACConfig(batch_size=512, replay_buffer_size=64 * 500,
+                    num_steps_per_episode=8, units=(128, 64),
+                    num_seed_steps=4, reward_shaper_scale=1.0)
+    sac = SAC(env, cfg, seed=0)
+    ts = sac.init()
+    early, late = [], []
+    for e in range(90):
+        ts, m = sac.epoch_fn(ts)
+        n = float(m["episode_count"])
+        if n > 0:
+            r = float(m["episode_reward_sum"]) / n
+            (early if e < 30 else late).append(r)
+    assert np.mean(late[-15:]) > np.mean(early) + 5.0, \
+        f"SAC did not learn: early={np.mean(early):.2f} late={np.mean(late[-15:]):.2f}"
+    # alpha annealed below its init
+    assert float(m["alpha"]) < 1.0
+
+
+def test_central_value_asymmetric_critic():
+    """central_value_config path: the critic trains on privileged states
+    while the actor sees obs (reference ShadowHandPPOAsymm*)."""
+    import numpy as np
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.learn.ppo import PPO, PPOConfig
+
+    env = isaacgymenvs_tpu.make(task="Cartpole", num_envs=16)
+    # expose obs as privileged states (cheap asymmetric-critic exercise)
+    env.num_states = env.num_obs
+    env._states = lambda state, info: env._observe(state, info)[0]
+    cfg = PPOConfig(horizon_length=8, minibatch_size=32, mini_epochs=2,
+                    units=(32, 32), mixed_precision=False,
+                    central_value=True, cv_units=(32, 32),
+                    reward_shaper_scale=0.1)
+    ppo = PPO(env, cfg, seed=0)
+    ts = ppo.init()
+    assert ts.cv_params is not None
+    r0 = None
+    for e in range(40):
+        ts, m = ppo.epoch_fn(ts)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["c_loss"]))
+    # critic learned something: value loss dropped within the run
+    assert float(m["c_loss"]) < 5.0
