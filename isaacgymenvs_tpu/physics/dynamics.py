@@ -68,21 +68,22 @@ def _spatial_inertias(model, params, kin):
 
 def crba(model: T.ArticulationModel, params: T.PhysParams,
          kin: T.Kinematics) -> jnp.ndarray:
-    """Composite-rigid-body mass matrix (nv, nv), armature included."""
+    """Composite-rigid-body mass matrix (nv, nv), armature included.
+
+    Composite-inertia accumulation runs as a reversed LEVEL sweep
+    (batched scatter-add per depth) instead of a per-body unrolled walk."""
+    from .structure import TreeStructure
     nb, nv = model.nbody, model.nv
     _, mask_np, _ = dof_structure(model)
+    st = TreeStructure(model)
     I_b = _spatial_inertias(model, params, kin)           # (nb,6,6)
 
-    # composite inertias: reversed static tree walk
-    Ic = [I_b[i] for i in range(nb)]
-    for i in range(nb - 1, -1, -1):
-        p = int(model.body_parent[i])
-        if p >= 0:
-            Ic[p] = Ic[p] + Ic[i]
+    Ic = I_b
+    parent = np.asarray(model.body_parent)
+    for bl in reversed(st.levels[1:]):
+        Ic = Ic.at[parent[bl]].add(Ic[bl])
 
-    # F[j] = Ic[body(j)] @ S[j]
-    Ic_dof = jnp.stack([Ic[int(model.jnt_body[int(model.dof_jnt[k])])]
-                        for k in range(nv)])              # (nv,6,6)
+    Ic_dof = Ic[st.dof_body]                              # (nv,6,6)
     S = kin.dof_S                                         # (nv,6)
     F = jnp.einsum("vij,vj->vi", Ic_dof, S)               # (nv,6)
     G = S @ F.T                                           # (nv,nv): G[k,j]=S_k·F_j
@@ -99,47 +100,41 @@ def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
     M qdd = τ − C. Includes gravity, Coriolis/centrifugal and (minus)
     external spatial forces f_ext (nb, 6) about kin.ref.
     """
+    from .structure import TreeStructure
     nb, nv = model.nbody, model.nv
     dtype = kin.body_pos.dtype
+    st = TreeStructure(model)
     I_b = _spatial_inertias(model, params, kin)
-
-    jnts_of = [[] for _ in range(nb)]
-    for ji in range(model.njnt):
-        jnts_of[int(model.jnt_body[ji])].append(ji)
+    parent = np.asarray(model.body_parent)
 
     a0 = jnp.concatenate([jnp.zeros(3, dtype),
                           -jnp.asarray(gravity, dtype)])  # gravity trick
 
-    # forward pass: accelerations with qdd = 0
-    body_acc = [None] * nb
-    for i in range(nb):
-        p = int(model.body_parent[i])
-        a = body_acc[p] if p >= 0 else a0
-        for ji in jnts_of[i]:
-            va = int(model.jnt_vadr[ji])
-            for k in range(va, va + T.JOINT_NV[int(model.jnt_type[ji])]):
-                a = a + kin.dof_Sdot[k] * qd[k]
-        body_acc[i] = a
+    # forward pass (level sweep): accelerations with qdd = 0;
+    # per-body velocity-product term = Σ_dofs Sdot_k qd_k
+    sdot_qd = kin.dof_Sdot * qd[:, None]                  # (nv,6)
+    body_bias = jax.ops.segment_sum(sdot_qd, jnp.asarray(st.dof_body),
+                                    num_segments=nb)      # (nb,6)
+    acc = jnp.zeros((nb, 6), dtype)
+    for bl in st.levels:
+        roots = parent[bl] < 0
+        pp = np.where(roots, 0, parent[bl])
+        a_par = jnp.where(jnp.asarray(roots)[:, None], a0, acc[pp])
+        acc = acc.at[bl].set(a_par + body_bias[bl])
 
-    # net force per body: f = I a + v ×* (I v) − f_ext
-    f = []
-    for i in range(nb):
-        Iv = I_b[i] @ kin.body_vel[i]
-        fi = I_b[i] @ body_acc[i] + spatial_force_cross(kin.body_vel[i], Iv)
-        if f_ext is not None:
-            fi = fi - f_ext[i]
-        f.append(fi)
+    # net force per body: f = I a + v ×* (I v) − f_ext  (fully batched)
+    Iv = jnp.einsum("bij,bj->bi", I_b, kin.body_vel)
+    f = jnp.einsum("bij,bj->bi", I_b, acc) \
+        + spatial_force_cross(kin.body_vel, Iv)
+    if f_ext is not None:
+        f = f - f_ext
 
-    # backward accumulate
-    for i in range(nb - 1, -1, -1):
-        p = int(model.body_parent[i])
-        if p >= 0:
-            f[p] = f[p] + f[i]
+    # backward accumulate (reversed level sweep)
+    for bl in reversed(st.levels[1:]):
+        f = f.at[parent[bl]].add(f[bl])
 
     # project: C_k = S_k · f_body(k)
-    f_dof = jnp.stack([f[int(model.jnt_body[int(model.dof_jnt[k])])]
-                       for k in range(nv)])
-    return jnp.einsum("vi,vi->v", kin.dof_S, f_dof)
+    return jnp.einsum("vi,vi->v", kin.dof_S, f[st.dof_body])
 
 
 def passive_forces(model: T.ArticulationModel, params: T.PhysParams,
@@ -151,31 +146,26 @@ def passive_forces(model: T.ArticulationModel, params: T.PhysParams,
     include_limits=False when the impulse solver handles limits as
     unilateral constraint rows (the default path). include_viscous=False
     when the integrator applies joint damping implicitly (step.py)."""
+    from .structure import TreeStructure
     dtype = qd.dtype
+    st = TreeStructure(model)
     tau = jnp.zeros_like(qd)
     if include_viscous:
         tau = -params.dof_damping.astype(dtype) * qd
     # dry friction (smooth): −frictionloss · tanh(qd / eps)
     tau = tau - params.dof_frictionloss.astype(dtype) * jnp.tanh(qd / 0.05)
 
-    # joint springs & limits act on 1-dof joints only
+    # joint springs & limits act on 1-dof joints only (batched gather)
     nv = model.nv
-    qpos_of_dof = jnp.zeros(nv, dtype)
+    qpos_of_dof = q[st.dof_qpos_idx] * jnp.asarray(st.dof_is_1d, dtype)
     limited = np.zeros(nv, dtype=bool)
     lo = np.zeros(nv, dtype=np.float32)
     hi = np.zeros(nv, dtype=np.float32)
-    col = []
     for k in range(nv):
         ji = int(model.dof_jnt[k])
-        jt = int(model.jnt_type[ji])
-        if jt in (T.HINGE, T.SLIDE):
-            qa = int(model.jnt_qadr[ji])
-            col.append(q[qa])
+        if int(model.jnt_type[ji]) in (T.HINGE, T.SLIDE):
             limited[k] = bool(model.jnt_limited[ji])
             lo[k], hi[k] = model.jnt_range[ji]
-        else:
-            col.append(jnp.zeros((), dtype))
-    qpos_of_dof = jnp.stack(col)
 
     # springs toward 0 (MJCF joint stiffness, springref=0)
     tau = tau - params.dof_stiffness.astype(dtype) * qpos_of_dof
@@ -210,7 +200,30 @@ def integrate(model: T.ArticulationModel, q: jnp.ndarray, qd: jnp.ndarray,
 
 def integrate_position(model: T.ArticulationModel, q: jnp.ndarray,
                        qd_new: jnp.ndarray, dt) -> jnp.ndarray:
-    """q ← q ⊕ h v (quaternion exponential for free/ball joints)."""
+    """q ← q ⊕ h v (quaternion exponential for free/ball joints).
+
+    Batched: one scatter for all 1-dof joints, one batched quaternion
+    update for all free roots."""
+    from .structure import TreeStructure
+    st = TreeStructure(model)
+    if st.has_ball:
+        return _integrate_position_unrolled(model, q, qd_new, dt)
+    q_new = q
+    if len(st.int1_qadr):
+        q_new = q_new.at[st.int1_qadr].add(dt * qd_new[st.int1_vadr])
+    if st.n_free:
+        qa, va = st.free_qadr, st.free_vadr
+        pos_idx = np.stack([qa, qa + 1, qa + 2], -1)          # (nf,3)
+        quat_idx = np.stack([qa + 3, qa + 4, qa + 5, qa + 6], -1)
+        vlin_idx = np.stack([va, va + 1, va + 2], -1)
+        vang_idx = np.stack([va + 3, va + 4, va + 5], -1)
+        q_new = q_new.at[pos_idx].add(dt * qd_new[vlin_idx])
+        quat = quat_integrate(q[quat_idx], qd_new[vang_idx], dt)
+        q_new = q_new.at[quat_idx].set(quat)
+    return q_new
+
+
+def _integrate_position_unrolled(model, q, qd_new, dt):
     q_new = q
     for ji in range(model.njnt):
         jt = int(model.jnt_type[ji])

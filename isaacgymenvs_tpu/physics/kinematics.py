@@ -1,26 +1,170 @@
 """Forward kinematics + velocity propagation (single env; vmap over envs).
 
-World-frame spatial algebra about the world origin, angular-first [ω; v_o].
-The kinematic tree is static (ArticulationModel, numpy) so the body loop
-unrolls at trace time; every op below becomes a `[num_envs, …]` vector op
-after vmap — the TPU replacement for the reference's native
-`gym.refresh_*_tensor` views (`tasks/base/vec_task.py:254-277`).
+World-frame spatial algebra about a per-env reference point (kin.ref),
+angular-first [ω; v]. Two implementations:
+
+* `forward_kinematics` — LEVEL-SYNCHRONOUS batched sweeps over the static
+  tree (structure.TreeStructure): O(depth × jmax) batched gather/where
+  ops instead of O(nbody × njoint) unrolled scalar ops. This matters
+  twice: op-launch overhead dominates the TPU hot loop at thousands of
+  envs, and XLA:CPU's fusion-by-recomputation exploded deep unrolled
+  chains (franka: 4 s/step → sub-ms).
+* `_forward_kinematics_unrolled` — the original per-body unrolled version,
+  kept as the fallback for models with BALL joints and as a reference
+  implementation (tests assert both agree).
+
+Replaces the reference's native `gym.refresh_*_tensor` views
+(`tasks/base/vec_task.py:254-277`).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import types as T
-from ..core.maths import (quat_mul, quat_rotate, quat_from_axis_angle)
+from ..core.maths import (quat_mul, quat_rotate, quat_from_axis_angle,
+                          spatial_motion_cross)
+from .structure import TreeStructure
 
 
 def forward_kinematics(model: T.ArticulationModel, params: T.PhysParams,
                        q: jnp.ndarray, qd: jnp.ndarray) -> T.Kinematics:
-    """Compute body poses, spatial velocities, COMs and dof motion subspaces.
+    st = TreeStructure(model)
+    if st.has_ball or model.nbody == 0:
+        return _forward_kinematics_unrolled(model, params, q, qd)
+    return _forward_kinematics_level(model, st, params, q, qd)
 
-    q: (nq,), qd: (nv,) single-env. All outputs world-frame.
-    """
+
+def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
+    nb, nv = model.nbody, model.nv
+    dtype = q.dtype
+    body_pos_c = jnp.asarray(model.body_pos, dtype)
+    body_quat_c = jnp.asarray(model.body_quat, dtype)
+
+    pos = jnp.zeros((nb, 3), dtype)
+    quat = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
+
+    # ---- pose pass: one batched update per tree level ---------------------
+    for bl in st.levels:
+        parents = np.asarray(model.body_parent)[bl]
+        roots = parents < 0
+        if roots.all():
+            pos_l = body_pos_c[bl]
+            quat_l = body_quat_c[bl]
+        else:
+            pp = np.where(roots, 0, parents)
+            pos_l = jnp.where(jnp.asarray(roots)[:, None],
+                              body_pos_c[bl],
+                              pos[pp] + quat_rotate(quat[pp],
+                                                    body_pos_c[bl]))
+            quat_l = jnp.where(jnp.asarray(roots)[:, None],
+                               body_quat_c[bl],
+                               quat_mul(quat[pp], body_quat_c[bl]))
+        for s in range(st.jmax):
+            stype = st.slot_type[bl, s]          # static numpy
+            if (stype < 0).all():
+                continue
+            axis = jnp.asarray(st.slot_axis[bl, s], dtype)
+            anchor = jnp.asarray(st.slot_anchor[bl, s], dtype)
+            qadr = st.slot_qadr[bl, s]
+            ang = q[qadr]                        # (nl,) garbage where unused
+            # hinge
+            rq = quat_from_axis_angle(axis, ang)
+            nq_ = quat_mul(quat_l, rq)
+            pos_h = pos_l + quat_rotate(quat_l, anchor) \
+                - quat_rotate(nq_, anchor)
+            # slide
+            pos_s = pos_l + quat_rotate(quat_l, axis) * ang[:, None]
+            # free (roots): q slices at static offsets
+            pos_f = q[np.stack([qadr, qadr + 1, qadr + 2], -1)]
+            quat_f = q[np.stack([qadr + 3, qadr + 4, qadr + 5, qadr + 6],
+                                -1)]
+            is_h = jnp.asarray(stype == T.HINGE)[:, None]
+            is_s = jnp.asarray(stype == T.SLIDE)[:, None]
+            is_f = jnp.asarray(stype == T.FREE)[:, None]
+            pos_l = jnp.where(is_h, pos_h,
+                              jnp.where(is_s, pos_s,
+                                        jnp.where(is_f, pos_f, pos_l)))
+            quat_l = jnp.where(is_h, nq_,
+                               jnp.where(is_f, quat_f, quat_l))
+        pos = pos.at[bl].set(pos_l)
+        quat = quat.at[bl].set(quat_l)
+
+    ref = jax.lax.stop_gradient(pos[0])
+
+    # ---- motion subspaces: fully batched over dofs -------------------------
+    db = st.dof_body
+    dq_ = quat[db]                                # (nv,4)
+    dp = pos[db] - ref
+    a_w = quat_rotate(dq_, jnp.asarray(st.dof_axis, dtype))
+    anchor_w = dp + quat_rotate(dq_, jnp.asarray(st.dof_anchor, dtype))
+    S_h = jnp.concatenate([a_w, jnp.cross(anchor_w, a_w)], -1)
+    S_s = jnp.concatenate([jnp.zeros((nv, 3), dtype), a_w], -1)
+    e_sub = np.zeros((nv, 3), np.float32)
+    rot_sub = np.zeros((nv, 3), np.float32)
+    for k in range(nv):
+        sub = st.dof_sub[k]
+        if st.dof_type[k] == T.FREE:
+            if sub < 3:
+                e_sub[k, sub] = 1.0              # translation axes
+            else:
+                rot_sub[k, sub - 3] = 1.0        # rotation axes
+    S_ft = jnp.concatenate([jnp.zeros((nv, 3), dtype),
+                            jnp.asarray(e_sub, dtype)], -1)
+    e_rot = jnp.asarray(rot_sub, dtype)
+    S_fr = jnp.concatenate([e_rot, jnp.cross(dp, e_rot)], -1)
+    is_h = jnp.asarray(st.dof_type == T.HINGE)[:, None]
+    is_s = jnp.asarray(st.dof_type == T.SLIDE)[:, None]
+    is_ft = jnp.asarray((st.dof_type == T.FREE) & (st.dof_sub < 3))[:, None]
+    S = jnp.where(is_h, S_h,
+                  jnp.where(is_s, S_s, jnp.where(is_ft, S_ft, S_fr)))
+
+    # ---- velocity pass + Sdot ----------------------------------------------
+    vel = jnp.zeros((nb, 6), dtype)
+    Sdot = jnp.zeros((nv, 6), dtype)
+    for li, bl in enumerate(st.levels):
+        parents = np.asarray(model.body_parent)[bl]
+        roots = parents < 0
+        pp = np.where(roots, 0, parents)
+        v_l = jnp.where(jnp.asarray(roots)[:, None], 0.0, vel[pp])
+        for s in range(st.jmax):
+            stype = st.slot_type[bl, s]
+            if (stype < 0).all():
+                continue
+            vadr = st.slot_vadr[bl, s]
+            if (stype == T.FREE).any():
+                # free joints: 6 sequential dofs (roots, v starts at 0);
+                # Sdot_k uses the partial velocity accumulated so far
+                mask_f = jnp.asarray(stype == T.FREE, dtype)[:, None]
+                for k in range(6):
+                    vk = vadr + k
+                    Sk = S[vk]
+                    Sdot = Sdot.at[vk].add(
+                        spatial_motion_cross(v_l, Sk) * mask_f)
+                    v_l = v_l + Sk * qd[vk][:, None] * mask_f
+            has_1d = bool(((stype == T.HINGE) | (stype == T.SLIDE)).any())
+            if has_1d:
+                mask_1 = jnp.asarray((stype == T.HINGE)
+                                     | (stype == T.SLIDE), dtype)[:, None]
+                Sv = S[vadr]
+                Sdot = Sdot.at[vadr].add(
+                    spatial_motion_cross(v_l, Sv) * mask_1)
+                v_l = v_l + Sv * qd[vadr][:, None] * mask_1
+        vel = vel.at[bl].set(v_l)
+
+    com = pos + quat_rotate(quat, params.body_com.astype(dtype))
+
+    return T.Kinematics(body_pos=pos, body_quat=quat, body_vel=vel,
+                        com=com, dof_S=S, dof_Sdot=Sdot, ref=ref)
+
+
+def _forward_kinematics_unrolled(model: T.ArticulationModel,
+                                 params: T.PhysParams,
+                                 q: jnp.ndarray,
+                                 qd: jnp.ndarray) -> T.Kinematics:
+    """Original per-body unrolled implementation (reference semantics)."""
     nb, nv = model.nbody, model.nv
     dtype = q.dtype
 
@@ -68,16 +212,9 @@ def forward_kinematics(model: T.ArticulationModel, params: T.PhysParams,
         body_pos[i] = pos
         body_quat[i] = quat
 
-    # ---- spatial reference point ------------------------------------------
-    # All spatial vectors below are expressed about `ref` (the first body's
-    # position), NOT the world origin: about-origin algebra cancels
-    # catastrophically once bodies are far from the origin (lever arms grow
-    # as |p|, the generalized inertia emerges from O(|p|²) term differences)
-    # — fatal in bf16/TPU-default matmul precision, and wrong even in f32
-    # for locomotion tasks that walk hundreds of meters. The dynamics are
-    # invariant to this choice, so gradients through `ref` cancel exactly;
-    # stop_gradient removes them for free.
-    import jax
+    # all spatial vectors are expressed about `ref` (the first body's
+    # position) — about-origin algebra cancels catastrophically once
+    # bodies are far from the origin (see level implementation docstring)
     ref = jax.lax.stop_gradient(body_pos[0])
 
     # ---- motion subspaces (about ref, from FINAL body poses) --------------
@@ -111,11 +248,6 @@ def forward_kinematics(model: T.ArticulationModel, params: T.PhysParams,
                 S[va + k] = jnp.concatenate([e, jnp.cross(anchor_w, e)])
 
     # ---- velocity pass (also S time-derivative bias, Featherstone) -------
-    # body spatial velocity V_i = V_parent + Σ S_k qd_k; the per-dof
-    # velocity-product term uses the PARTIAL velocity accumulated before the
-    # dof (exact — matches MuJoCo mj_comVel / Featherstone ṡ = v × s).
-    from ..core.maths import spatial_motion_cross
-
     body_vel = [None] * nb
     Sdot = [None] * nv
     for i in range(nb):

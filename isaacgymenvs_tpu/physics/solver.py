@@ -108,15 +108,11 @@ def _limit_rows(model: T.ArticulationModel):
 
 
 def _qpos_dof(model, q):
-    """(nv,) q value per dof for 1-dof joints (0 for free/ball) — traced."""
-    vals = []
-    for k in range(model.nv):
-        ji = int(model.dof_jnt[k])
-        if int(model.jnt_type[ji]) in (T.HINGE, T.SLIDE):
-            vals.append(q[int(model.jnt_qadr[ji])])
-        else:
-            vals.append(jnp.zeros((), q.dtype))
-    return jnp.stack(vals)
+    """(nv,) q value per dof for 1-dof joints (0 for free/ball) — one
+    batched gather via the static tree structure."""
+    from .structure import TreeStructure
+    st = TreeStructure(model)
+    return q[st.dof_qpos_idx] * jnp.asarray(st.dof_is_1d, q.dtype)
 
 
 def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
