@@ -24,6 +24,7 @@ isaacgym_task_map = {
     "AllegroHand": _lazy("allegro_hand", "AllegroHand"),
     "HumanoidAMP": _lazy("humanoid_amp", "HumanoidAMP"),
     "FrankaCabinet": _lazy("franka_cabinet", "FrankaCabinet"),
+    "FrankaCubeStack": _lazy("franka_cube_stack", "FrankaCubeStack"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

@@ -78,10 +78,10 @@ def crba(model: T.ArticulationModel, params: T.PhysParams,
     st = TreeStructure(model)
     I_b = _spatial_inertias(model, params, kin)           # (nb,6,6)
 
-    Ic = I_b
-    parent = np.asarray(model.body_parent)
-    for bl in reversed(st.levels[1:]):
-        Ic = Ic.at[parent[bl]].add(Ic[bl])
+    # composite inertia via the static descendant mask — one MXU matmul
+    # instead of per-level scatter-adds (TPU scatters serialize)
+    anc = jnp.asarray(st.body_anc, I_b.dtype)             # (nb,nb)
+    Ic = jnp.einsum("bd,dij->bij", anc, I_b)
 
     Ic_dof = Ic[st.dof_body]                              # (nv,6,6)
     S = kin.dof_S                                         # (nv,6)
@@ -110,17 +110,11 @@ def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
     a0 = jnp.concatenate([jnp.zeros(3, dtype),
                           -jnp.asarray(gravity, dtype)])  # gravity trick
 
-    # forward pass (level sweep): accelerations with qdd = 0;
-    # per-body velocity-product term = Σ_dofs Sdot_k qd_k
+    # forward pass via the static ancestor mask: acceleration with qdd = 0
+    # is a0 plus the accumulated velocity-product terms of all ancestor
+    # dofs — one mask matmul (no tree sweep)
     sdot_qd = kin.dof_Sdot * qd[:, None]                  # (nv,6)
-    body_bias = jax.ops.segment_sum(sdot_qd, jnp.asarray(st.dof_body),
-                                    num_segments=nb)      # (nb,6)
-    acc = jnp.zeros((nb, 6), dtype)
-    for bl in st.levels:
-        roots = parent[bl] < 0
-        pp = np.where(roots, 0, parent[bl])
-        a_par = jnp.where(jnp.asarray(roots)[:, None], a0, acc[pp])
-        acc = acc.at[bl].set(a_par + body_bias[bl])
+    acc = a0[None, :] + jnp.asarray(st.dof_body_mask, dtype).T @ sdot_qd
 
     # net force per body: f = I a + v ×* (I v) − f_ext  (fully batched)
     Iv = jnp.einsum("bij,bj->bi", I_b, kin.body_vel)
@@ -129,9 +123,8 @@ def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
     if f_ext is not None:
         f = f - f_ext
 
-    # backward accumulate (reversed level sweep)
-    for bl in reversed(st.levels[1:]):
-        f = f.at[parent[bl]].add(f[bl])
+    # backward accumulate = descendant sum (one mask matmul)
+    f = jnp.asarray(st.body_anc, dtype) @ f
 
     # project: C_k = S_k · f_body(k)
     return jnp.einsum("vi,vi->v", kin.dof_S, f[st.dof_body])

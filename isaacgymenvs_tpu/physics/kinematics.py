@@ -43,10 +43,12 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
     body_pos_c = jnp.asarray(model.body_pos, dtype)
     body_quat_c = jnp.asarray(model.body_quat, dtype)
 
-    pos = jnp.zeros((nb, 3), dtype)
-    quat = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
-
-    # ---- pose pass: one batched update per tree level ---------------------
+    # ---- pose pass: one batched update per tree level. Results accumulate
+    # by CONCATENATION in level order (TPU scatters serialize; the final
+    # body ordering is restored with one static gather) -------------------
+    pos_parts, quat_parts = [], []
+    pos_cat = jnp.zeros((0, 3), dtype)
+    quat_cat = jnp.zeros((0, 4), dtype)
     for bl in st.levels:
         parents = np.asarray(model.body_parent)[bl]
         roots = parents < 0
@@ -54,14 +56,15 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
             pos_l = body_pos_c[bl]
             quat_l = body_quat_c[bl]
         else:
-            pp = np.where(roots, 0, parents)
+            # parents live in earlier levels → gather from the concat prefix
+            pp = st.body_concat_pos[np.where(roots, 0, parents)]
             pos_l = jnp.where(jnp.asarray(roots)[:, None],
                               body_pos_c[bl],
-                              pos[pp] + quat_rotate(quat[pp],
-                                                    body_pos_c[bl]))
+                              pos_cat[pp] + quat_rotate(quat_cat[pp],
+                                                        body_pos_c[bl]))
             quat_l = jnp.where(jnp.asarray(roots)[:, None],
                                body_quat_c[bl],
-                               quat_mul(quat[pp], body_quat_c[bl]))
+                               quat_mul(quat_cat[pp], body_quat_c[bl]))
         for s in range(st.jmax):
             stype = st.slot_type[bl, s]          # static numpy
             if (stype < 0).all():
@@ -89,8 +92,10 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
                                         jnp.where(is_f, pos_f, pos_l)))
             quat_l = jnp.where(is_h, nq_,
                                jnp.where(is_f, quat_f, quat_l))
-        pos = pos.at[bl].set(pos_l)
-        quat = quat.at[bl].set(quat_l)
+        pos_cat = jnp.concatenate([pos_cat, pos_l])
+        quat_cat = jnp.concatenate([quat_cat, quat_l])
+    pos = pos_cat[st.level_inv]
+    quat = quat_cat[st.level_inv]
 
     ref = jax.lax.stop_gradient(pos[0])
 
@@ -121,38 +126,14 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
     S = jnp.where(is_h, S_h,
                   jnp.where(is_s, S_s, jnp.where(is_ft, S_ft, S_fr)))
 
-    # ---- velocity pass + Sdot ----------------------------------------------
-    vel = jnp.zeros((nb, 6), dtype)
-    Sdot = jnp.zeros((nv, 6), dtype)
-    for li, bl in enumerate(st.levels):
-        parents = np.asarray(model.body_parent)[bl]
-        roots = parents < 0
-        pp = np.where(roots, 0, parents)
-        v_l = jnp.where(jnp.asarray(roots)[:, None], 0.0, vel[pp])
-        for s in range(st.jmax):
-            stype = st.slot_type[bl, s]
-            if (stype < 0).all():
-                continue
-            vadr = st.slot_vadr[bl, s]
-            if (stype == T.FREE).any():
-                # free joints: 6 sequential dofs (roots, v starts at 0);
-                # Sdot_k uses the partial velocity accumulated so far
-                mask_f = jnp.asarray(stype == T.FREE, dtype)[:, None]
-                for k in range(6):
-                    vk = vadr + k
-                    Sk = S[vk]
-                    Sdot = Sdot.at[vk].add(
-                        spatial_motion_cross(v_l, Sk) * mask_f)
-                    v_l = v_l + Sk * qd[vk][:, None] * mask_f
-            has_1d = bool(((stype == T.HINGE) | (stype == T.SLIDE)).any())
-            if has_1d:
-                mask_1 = jnp.asarray((stype == T.HINGE)
-                                     | (stype == T.SLIDE), dtype)[:, None]
-                Sv = S[vadr]
-                Sdot = Sdot.at[vadr].add(
-                    spatial_motion_cross(v_l, Sv) * mask_1)
-                v_l = v_l + Sv * qd[vadr][:, None] * mask_1
-        vel = vel.at[bl].set(v_l)
+    # ---- velocity pass + Sdot: static mask MATMULS (MXU) -------------------
+    # body velocity = Σ S_k qd_k over the body's dof ancestry;
+    # per-dof partial velocity = Σ over STRICT dof ancestors — both are
+    # one (nv→·) mask matmul instead of a sequential tree sweep
+    Sqd = S * qd[:, None]                               # (nv,6)
+    vel = jnp.asarray(st.dof_body_mask, dtype).T @ Sqd  # (nb,6)
+    Vp = jnp.asarray(st.dof_anc_strict, dtype).T @ Sqd  # (nv,6)
+    Sdot = spatial_motion_cross(Vp, S)
 
     com = pos + quat_rotate(quat, params.body_com.astype(dtype))
 

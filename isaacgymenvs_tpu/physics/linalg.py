@@ -1,0 +1,62 @@
+"""Small-matrix batched linear algebra for the TPU hot loop.
+
+XLA:TPU lowers `jnp.linalg.cholesky` / `cho_solve` to a custom call that
+dominated the physics step (59% of Ant-4096 step time in the profiler).
+For articulation-sized matrices (nv ≈ 8-40) an UNROLLED Cholesky and
+triangular inverse — n static steps of batched vector ops — runs entirely
+on the vector/matrix units and vmaps cleanly over thousands of envs.
+
+The explicit inverse M⁻¹ = L⁻ᵀL⁻¹ then turns every downstream solve
+(forward dynamics, Delassus operator columns) into plain MXU matmuls.
+M is SPD with armature regularization, so the explicit inverse is
+numerically safe at f32/highest precision.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def cholesky_small(M: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular L with L Lᵀ = M, unrolled over the static size n.
+
+    M: (..., n, n) SPD. Each of the n steps is one batched matvec +
+    elementwise ops (no sequential custom call)."""
+    n = M.shape[-1]
+    dtype = M.dtype
+    L = jnp.zeros_like(M)
+    idx = np.arange(n)
+    for j in range(n):
+        # s_i = Σ_{k<j} L[i,k] L[j,k]  (columns ≥ j are still zero)
+        s = jnp.einsum("...ik,...k->...i", L, L[..., j, :])
+        djj = jnp.maximum(M[..., j, j] - s[..., j], 1e-12)
+        inv_ljj = 1.0 / jnp.sqrt(djj)
+        col = (M[..., :, j] - s) * inv_ljj[..., None]
+        mask = jnp.asarray(idx >= j, dtype)
+        L = L.at[..., :, j].set(col * mask)
+    return L
+
+
+def lower_tri_inverse(L: jnp.ndarray) -> jnp.ndarray:
+    """L⁻¹ for lower-triangular L, unrolled forward substitution
+    (row i uses the already-final rows k < i)."""
+    n = L.shape[-1]
+    dtype = L.dtype
+    X = jnp.zeros_like(L)
+    eye = np.eye(n, dtype=np.float32)
+    idx = np.arange(n)
+    for i in range(n):
+        mask = jnp.asarray(idx < i, dtype)
+        acc = jnp.einsum("...k,...kj->...j", L[..., i, :] * mask, X)
+        row = (jnp.asarray(eye[i], dtype) - acc) \
+            / L[..., i, i][..., None]
+        X = X.at[..., i, :].set(row)
+    return X
+
+
+def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """M⁻¹ for SPD M via unrolled Cholesky: M⁻¹ = L⁻ᵀ L⁻¹."""
+    L = cholesky_small(M)
+    Li = lower_tri_inverse(L)
+    return jnp.einsum("...ki,...kj->...ij", Li, Li)

@@ -117,12 +117,13 @@ def _qpos_dof(model, q):
 
 def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
                       sim: T.SimParams, kin, contacts: ContactSet,
-                      q, qd_free, L_chol, h, height_fn=None,
+                      q, qd_free, Minv, h, height_fn=None,
                       pair_geom=None, attractors=None):
     """One velocity-level constraint solve.
 
     qd_free: unconstrained post-step velocity (after forces, before
-    impulses). L_chol: cholesky factor of M. pair_geom: optional runtime
+    impulses). Minv: explicit inverse of the effective mass matrix
+    (see physics/linalg.py). pair_geom: optional runtime
     body-pair narrowphase output from `collide.pair_contact_geometry`.
     Returns (qd_new, body_contact_force (nb,3), body_contact_torque)."""
     from ..core.maths import quat_rotate
@@ -242,24 +243,34 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     b = jnp.concatenate(rows_b, axis=0)
     nr = J.shape[0]
 
-    # Delassus operator A = J M⁻¹ Jᵀ kept FACTORED: A@x = J (M⁻¹Jᵀ x).
-    # Never materializing the (nr,nr) matrix keeps memory O(nr·nv) — at
-    # hand-task row counts (≈400) × thousands of envs the dense form would
-    # not fit HBM — and two (nr,nv) matvecs beat one (nr,nr) matvec.
-    MinvJT = jax.scipy.linalg.cho_solve((L_chol, True), J.T)   # (nv,nr)
+    # Delassus operator kept FACTORED: A@x = J (M⁻¹Jᵀ x). Two skinny
+    # (nr,nv) matvecs beat one dense (nr,nr) matvec on TPU (measured:
+    # materializing A halved Ant throughput), and the dense form would
+    # not fit HBM at hand-task row counts × thousands of envs.
+    MinvJT = Minv @ J.T                                        # (nv,nr)
 
     def Amv(x):
         return J @ (MinvJT @ x)
 
-    # PGD step size from power iteration on A (tight λ_max estimate)
+    # DIAGONAL preconditioning (Chrono-style): light objects with tiny
+    # rotational inertia (5 cm cubes: I ≈ 5e-6) make cond(A) explode and
+    # plain APGD stalls; Γ = γ̂ D⁻¹ equilibrates the rows. diag(A) comes
+    # free from the factored operator.
+    dA = jnp.einsum("rv,vr->r", J, MinvJT)
+    dinv = 1.0 / jnp.maximum(dA, 1e-9)
+
+    def Amv_pre(x):
+        return Amv(x) * dinv
+
+    # step size from power iteration on the PRECONDITIONED operator
     def pow_body(i, v):
-        w = Amv(v)
+        w = Amv_pre(v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
 
     v0 = jnp.ones((nr,), dtype) / jnp.sqrt(nr)
-    v = jax.lax.fori_loop(0, 16, pow_body, v0)
-    lam_max = jnp.linalg.norm(Amv(v))
-    gamma = 1.0 / jnp.maximum(2.0 * lam_max, 1e-6)
+    v = jax.lax.fori_loop(0, 12, pow_body, v0)
+    lam_max = jnp.linalg.norm(Amv_pre(v))
+    gamma = dinv / jnp.maximum(1.5 * lam_max, 1e-6)   # per-row Γ
 
     def project(lam):
         out = lam

@@ -138,15 +138,19 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
             tau = tau + tau_fn(q, qd)
         M = crba(model, params, kin)
         C = rnea_bias(model, params, kin, qd, gravity, f_ext)
-        L = jnp.linalg.cholesky(M + h * jnp.diag(dimp))
-        qdd = jax.scipy.linalg.cho_solve((L, True), tau - C - dimp * qd)
+        # explicit SPD inverse via unrolled Cholesky: XLA:TPU's cholesky
+        # custom-call dominated the step (59% in the profiler); M⁻¹ turns
+        # the solve AND the solver's Delassus columns into MXU matmuls
+        from .linalg import spd_inverse
+        Minv = spd_inverse(M + h * jnp.diag(dimp))
+        qdd = Minv @ (tau - C - dimp * qd)
         qd_free = qd + h * qdd
         if impulse:
             pg = (pair_contact_geometry(model, params, kin, pair_contacts)
                   if pair_contacts is not None and pair_contacts.count
                   else None)
             qd_new, body_cf, body_ct = solve_constraints(
-                model, params, sim, kin, contacts, q, qd_free, L, h,
+                model, params, sim, kin, contacts, q, qd_free, Minv, h,
                 height_fn, pair_geom=pg, attractors=attractors)
         else:
             qd_new = qd_free

@@ -99,3 +99,35 @@ class TreeStructure:
         self.free_body = np.array([model.jnt_body[j] for j in free],
                                   np.int32)
         self.n_free = len(free)
+
+        # ---- static masks for matmul-form tree reductions (TPU scatters
+        # serialize; a (nb,nb)/(nv,nv) mask matmul runs on the MXU) -------
+        # body_anc[a, b] = 1 if a is an ancestor-or-self of b
+        body_anc = np.zeros((nb, nb), np.float32)
+        for b in range(nb):
+            a = b
+            while a >= 0:
+                body_anc[a, b] = 1.0
+                a = parent[a]
+        self.body_anc = body_anc                 # descendant sum: anc @ X
+        # dof ancestry (strict): for partial velocities
+        from .dynamics import dof_structure
+        dof_parent, dof_anc, last_dof = dof_structure(model)
+        self.dof_anc = dof_anc                   # (nv,nv) ancestor-or-self
+        self.dof_anc_strict = dof_anc - np.eye(nv, dtype=np.float32)
+        # dof→body mask (nv, nb): dof k is an ancestor of body b
+        D = np.zeros((nv, nb), np.float32)
+        for b in range(nb):
+            ld = last_dof[b]
+            if ld >= 0:
+                D[:, b] = dof_anc[:, ld]
+        self.dof_body_mask = D
+        # level concat order + inverse permutation (pose pass writes)
+        order = np.concatenate(self.levels) if nb else np.zeros(0, np.int32)
+        inv = np.zeros(nb, np.int32)
+        inv[order] = np.arange(nb)
+        self.level_order = order.astype(np.int32)
+        self.level_inv = inv
+        # index of each body within the concat-so-far prefix (for parent
+        # gathers during the level sweep): position in `order`
+        self.body_concat_pos = inv

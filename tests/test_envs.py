@@ -286,3 +286,41 @@ def test_franka_cabinet_constructs():
     assert not jnp.isnan(obs).any()
     # drawer closed at reset
     assert float(jnp.abs(state.art.q[:, env.drawer_dof]).max()) < 1e-5
+
+
+def test_franka_cube_stack_constructs():
+    """FrankaCubeStack: 5-actor composed scene (franka+table+stand+2 cubes),
+    OSC control path, 19-D obs. Stepping validated on TPU."""
+    env = isaacgymenvs_tpu.make(task="FrankaCubeStack", num_envs=2)
+    assert env.num_obs == 19 and env.num_acts == 7
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 19)
+    assert not jnp.isnan(obs).any()
+    # cubes spawned on the tabletop, apart from each other
+    za = np.asarray(state.art.q[:, env.cubeA_q + 2])
+    zb = np.asarray(state.art.q[:, env.cubeB_q + 2])
+    assert (np.abs(za - (env.table_height + 0.025)) < 1e-4).all()
+    assert (np.abs(zb - (env.table_height + 0.035)) < 1e-4).all()
+    pa = np.asarray(state.art.q[:, env.cubeA_q:env.cubeA_q + 2])
+    pb = np.asarray(state.art.q[:, env.cubeB_q:env.cubeB_q + 2])
+    assert (np.linalg.norm(pa - pb, axis=-1) > 0.1).all()
+
+
+def test_cube_rests_on_table():
+    """Contact conditioning: a light 5cm cube (rot inertia ~5e-6) must rest
+    on the table — exercises the diagonal-preconditioned APGD solver."""
+    from isaacgymenvs_tpu.physics.step import physics_step
+    from isaacgymenvs_tpu.physics.collide import build_ground_contacts
+    from isaacgymenvs_tpu.core import types as T
+    env = isaacgymenvs_tpu.make(task="FrankaCubeStack", num_envs=1)
+    m = env.model
+    gc = build_ground_contacts(m)
+    params = m.default_phys_params()
+    st = T.ArtState(q=env.init_q, qd=jnp.zeros(m.nv))
+    step = jax.jit(lambda s: physics_step(
+        m, env.sim, params, s, ctrl=jnp.full(2, 0.035), contacts=gc,
+        pair_contacts=env.pair_contacts)[0])
+    for _ in range(50):
+        st = step(st)
+    z = float(st.q[env.cubeA_q + 2])
+    assert abs(z - (env.table_height + 0.025)) < 0.03, f"cube fell: z={z}"
