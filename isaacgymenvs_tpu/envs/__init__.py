@@ -25,6 +25,7 @@ isaacgym_task_map = {
     "HumanoidAMP": _lazy("humanoid_amp", "HumanoidAMP"),
     "FrankaCabinet": _lazy("franka_cabinet", "FrankaCabinet"),
     "FrankaCubeStack": _lazy("franka_cube_stack", "FrankaCubeStack"),
+    "Trifinger": _lazy("trifinger", "Trifinger"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

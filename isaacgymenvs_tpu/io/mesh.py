@@ -66,12 +66,10 @@ def resolve_mesh_path(filename: str, urdf_dir: str):
     """Resolve URDF mesh references: package-relative or urdf-relative."""
     if filename.startswith("package://"):
         filename = filename[len("package://"):]
-    cands = [
-        os.path.join(urdf_dir, filename),
-        os.path.join(os.path.dirname(urdf_dir), filename),
-        os.path.join(os.path.dirname(os.path.dirname(urdf_dir)), filename),
-    ]
-    for c in cands:
+    base = urdf_dir
+    for _ in range(5):  # walk up: package roots sit a few levels above
+        c = os.path.join(base, filename)
         if os.path.exists(c):
             return c
+        base = os.path.dirname(base)
     return None

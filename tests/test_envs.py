@@ -324,3 +324,19 @@ def test_cube_rests_on_table():
         st = step(st)
     z = float(st.q[env.cubeA_q + 2])
     assert abs(z - (env.table_height + 0.025)) < 0.03, f"cube fell: z={z}"
+
+
+def test_trifinger_constructs():
+    """Trifinger: 3-finger robot + free cube, normalized 41-D obs, goal
+    difficulty levels (tasks/trifinger.py). Stepping validated on TPU."""
+    env = isaacgymenvs_tpu.make(task="Trifinger", num_envs=2)
+    assert env.num_obs == 41 and env.num_acts == 9
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 41)
+    assert not jnp.isnan(obs).any()
+    # normalized obs live in [-1, 1]
+    assert float(jnp.abs(obs).max()) <= 1.0 + 1e-5
+    # difficulty-4 goals include full orientation
+    g = np.asarray(state.aux["goal_pose"])
+    np.testing.assert_allclose(np.linalg.norm(g[:, 3:7], axis=-1), 1.0,
+                               rtol=1e-5)
