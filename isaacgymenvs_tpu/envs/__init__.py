@@ -26,6 +26,8 @@ isaacgym_task_map = {
     "FrankaCabinet": _lazy("franka_cabinet", "FrankaCabinet"),
     "FrankaCubeStack": _lazy("franka_cube_stack", "FrankaCubeStack"),
     "Trifinger": _lazy("trifinger", "Trifinger"),
+    "FactoryTaskNutBoltPick": _lazy("factory.task_nut_bolt_pick",
+                                    "FactoryTaskNutBoltPick"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

@@ -1,0 +1,147 @@
+"""FactoryEnvNutBolt: Franka + table + nut + bolt scene.
+
+Parity with reference `factory/factory_env_nut_bolt.py` (357 LoC) and
+`assets/factory/yaml/factory_asset_info_nut_bolt.yaml` (dimensions
+transcribed below).  The reference imports SDF-collision mesh URDFs; the
+TPU pipeline needs primitive geoms with static candidate sets, so:
+
+  * hex nut -> box of width_min (across-flats) x height, geom offset so
+    the nut's hole axis matches the reference origin convention (origin
+    sits `bolt_head_height` below the nut bottom face, the fully-screwed
+    rest pose);
+  * bolt -> hex head box (1.5*major diameter across flats) + square
+    shank column, fixed per env ("kinematic" free root, pose-restored
+    every step, which replaces the reference's teleporting of a
+    fix_base actor through the root-state tensor);
+  * one subassembly per run (cfg `desired_subassemblies[0]`): the
+    reference samples a subassembly per env at scene build, which is
+    incompatible with a single static batched geometry — per-env size
+    randomization belongs to the DR engine instead.
+
+Thread engagement for the Screw task is modelled at the articulation
+level (see task_nut_bolt_screw.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...io.mjcf import load_mjcf
+from ...physics.collide import build_pair_contacts
+from .base import FactoryBase, box_model_xml
+
+# assets/factory/yaml/factory_asset_info_nut_bolt.yaml — per subassembly:
+# (nut: width_min, width_max, height, flat_length;
+#  bolt: width (major diameter), head_height, shank_length; thread_pitch)
+NUT_BOLT_INFO = {}
+for _size, _nut, _bolt, _pitch in [
+    ("m4", (0.007, 0.0080829, 0.0032, 0.00404145),
+     (0.004, 0.004, 0.016), 0.0007),
+    ("m8", (0.013, 0.01501111, 0.0065, 0.00750555),
+     (0.008, 0.008, 0.018), 0.00125),
+    ("m12", (0.019, 0.02193931, 0.010, 0.01096966),
+     (0.012, 0.012, 0.020), 0.00175),
+    ("m16", (0.024, 0.02771281, 0.013, 0.01385641),
+     (0.016, 0.016, 0.025), 0.002),
+    ("m20", (0.030, 0.03464102, 0.016, 0.01732051),
+     (0.020, 0.020, 0.045), 0.0025),
+]:
+    for _fit in ("tight", "loose"):
+        NUT_BOLT_INFO[f"nut_bolt_{_size}_{_fit}"] = {
+            "nut_width_min": _nut[0], "nut_width_max": _nut[1],
+            "nut_height": _nut[2], "nut_flat_length": _nut[3],
+            "bolt_width": _bolt[0], "bolt_head_height": _bolt[1],
+            "bolt_shank_length": _bolt[2], "thread_pitch": _pitch,
+        }
+
+
+class FactoryEnvNutBolt(FactoryBase):
+    """Nut + bolt actors; nut free, bolt kinematic."""
+
+    nut_free = True  # Screw task overrides: nut rides a screw joint
+
+    def __init__(self, cfg=None, num_envs=128):
+        c = cfg or {}
+        env_cfg = c.get("env", {})
+        subs = env_cfg.get("desired_subassemblies", ["nut_bolt_m16_tight"])
+        self.subassembly = subs[0]
+        self.nut_bolt_info = NUT_BOLT_INFO[self.subassembly]
+        self.nut_bolt_density = env_cfg.get("nut_bolt_density", 7850.0)
+        self.nut_bolt_friction = env_cfg.get("nut_bolt_friction", 0.3)
+        self.nut_lateral_offset = env_cfg.get("nut_lateral_offset", 0.1)
+        super().__init__(cfg, num_envs)
+
+    # ------------------------------------------------------------- actors
+    def _nut_model(self):
+        info = self.nut_bolt_info
+        w, h = info["nut_width_min"], info["nut_height"]
+        zoff = info["bolt_head_height"] + h / 2  # origin convention
+        xml = box_model_xml(
+            "nut", (w, w, h), density=self.nut_bolt_density,
+            free=self.nut_free,
+            geoms=[("box", (w / 2, w / 2, h / 2), (0, 0, zoff))])
+        return load_mjcf(xml)
+
+    def _bolt_model(self):
+        info = self.nut_bolt_info
+        d = info["bolt_width"]
+        hh = info["bolt_head_height"]
+        sl = info["bolt_shank_length"]
+        head_w = 1.5 * d  # hex head across flats
+        xml = box_model_xml(
+            "bolt", (head_w, head_w, hh), density=self.nut_bolt_density,
+            free=True,
+            geoms=[("box", (head_w / 2, head_w / 2, hh / 2),
+                    (0, 0, hh / 2)),
+                   ("box", (d / 2, d / 2, sl / 2), (0, 0, hh + sl / 2))])
+        return load_mjcf(xml)
+
+    def _env_actors(self):
+        th = self.table_height
+        return [
+            ("nut", self._nut_model(),
+             [0.0, self.nut_lateral_offset, th], [1.0, 0, 0, 0]),
+            ("bolt", self._bolt_model(), [0.0, 0.0, th], [1.0, 0, 0, 0]),
+        ]
+
+    def _kinematic_actors(self):
+        return ["bolt"]
+
+    def _build_scene(self):
+        super()._build_scene()
+        sl = self.actor_slices
+        if self.nut_free:
+            self.nut_q = sl["nut"]["q"][0]
+            self.nut_v = sl["nut"]["v"][0]
+        self.bolt_q = sl["bolt"]["q"][0]
+        self.bolt_v = sl["bolt"]["v"][0]
+        self.nut_body = self.model.body_index("nut/nut")
+        self.bolt_body = self.model.body_index("bolt/bolt")
+
+        nf = np.array(self.model.geom_friction, np.float64)
+        for gi, nm in enumerate(self.model.geom_names):
+            if nm.startswith(("nut/", "bolt/")):
+                nf[gi] = self.nut_bolt_friction
+            elif nm.startswith("table/"):
+                nf[gi] = self.table_friction
+            elif nm.startswith("franka/"):
+                nf[gi] = self.franka_friction
+        object.__setattr__(self.model, "geom_friction", nf)
+
+        bp = [("nut/nut", "table/table"),
+              ("nut/nut", "franka/panda_leftfinger"),
+              ("nut/nut", "franka/panda_rightfinger"),
+              ("nut/nut", "franka/panda_hand"),
+              ("nut/nut", "bolt/bolt")]
+        self.pair_contacts = build_pair_contacts(self.model, body_pairs=bp)
+
+    # -------------------------------------------------------------- state
+    def _nut_pose(self, q):
+        """(pos, quat) of the nut root; single env."""
+        return q[self.nut_q:self.nut_q + 3], \
+            q[self.nut_q + 3:self.nut_q + 7]
+
+    def _bolt_pose(self, q):
+        return q[self.bolt_q:self.bolt_q + 3], \
+            q[self.bolt_q + 3:self.bolt_q + 7]

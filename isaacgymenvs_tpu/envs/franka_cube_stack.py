@@ -80,6 +80,10 @@ class FrankaCubeStack(VecTask):
             dt=sim_cfg.get("dt", 1.0 / 60.0),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            # light-cube contact rows under-converge at the default 16
+            # APGD sweeps inside the stiff franka system (~15 mm rest
+            # penetration); 48 brings it under 1 mm
+            solver_iterations=sim_cfg.get("num_solver_iterations", 48),
         )
         self.dt = self.sim.dt
 

@@ -92,6 +92,9 @@ class Trifinger(VecTask):
             dt=sim_cfg.get("dt", 0.02),
             substeps=sim_cfg.get("substeps", 4),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            # light-cube rows need extra APGD sweeps inside the stiff
+            # finger constraint system (~5 mm rest sink at 16)
+            solver_iterations=sim_cfg.get("num_solver_iterations", 48),
         )
         self.dt = self.sim.dt
 
