@@ -64,6 +64,7 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
                geom_conaffinity=[], geom_names=[], init_qpos=[])
     aliases = {}
     actor_slices = {}
+    ten_adr, ten_jnt, ten_coef, ten_range, ten_names = [0], [], [], [], []
     nb = nj = nq = nv = 0
     for entry in actors:
         prefix, m = entry[0], entry[1]
@@ -99,6 +100,7 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
         out["jnt_vadr"].append(np.asarray(m.jnt_vadr) + nv)
         out["jnt_range"].append(m.jnt_range)
         out["jnt_limited"].append(m.jnt_limited)
+        out.setdefault("jnt_pitch", []).append(m.jnt_pitch_arr())
         out["jnt_names"] += [f"{prefix}/{n}" for n in m.jnt_names]
         out["dof_armature"].append(m.dof_armature)
         out["dof_damping"].append(m.dof_damping)
@@ -130,6 +132,14 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
                 iq[qa:qa + 3] = root_pos + R @ iq[qa:qa + 3]
                 iq[qa + 3:qa + 7] = _quat_mul_np(root_quat, iq[qa + 3:qa + 7])
         out["init_qpos"].append(iq)
+        # fixed tendons (coupled-joint limit rows) with joint offsets
+        for t in range(m.ntendon):
+            a0, a1 = int(m.ten_adr[t]), int(m.ten_adr[t + 1])
+            ten_jnt += [int(j) + nj for j in m.ten_jnt[a0:a1]]
+            ten_coef += [float(c) for c in m.ten_coef[a0:a1]]
+            ten_adr.append(len(ten_jnt))
+            ten_range.append(np.asarray(m.ten_range[t], np.float32))
+            ten_names.append(f"{prefix}/{m.ten_names[t]}")
         actor_slices[prefix] = dict(body=(nb, nb + m.nbody),
                                     q=(nq, nq + m.nq), v=(nv, nv + m.nv))
         nb += m.nbody
@@ -162,6 +172,7 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
         jnt_vadr=cat("jnt_vadr", np.int32),
         jnt_range=cat("jnt_range", np.float32, (2,)),
         jnt_limited=cat("jnt_limited", bool),
+        jnt_pitch=cat("jnt_pitch", np.float32),
         jnt_names=tuple(out["jnt_names"]),
         dof_armature=cat("dof_armature", np.float32),
         dof_damping=cat("dof_damping", np.float32),
@@ -187,6 +198,12 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
         geom_names=tuple(out["geom_names"]),
         init_qpos=cat("init_qpos", np.float32),
         body_aliases=aliases,
+        ten_adr=np.asarray(ten_adr, np.int32),
+        ten_jnt=np.asarray(ten_jnt, np.int32),
+        ten_coef=np.asarray(ten_coef, np.float32),
+        ten_range=(np.stack(ten_range).astype(np.float32) if ten_range
+                   else np.zeros((0, 2), np.float32)),
+        ten_names=tuple(ten_names),
     )
     # stash per-actor index ranges for env code (not part of the pytree)
     object.__setattr__(model, "actor_slices", actor_slices)

@@ -37,9 +37,12 @@ FREE = 0    # 7 q (pos3 + quat wxyz), 6 v (lin world, ang world)
 BALL = 1    # 4 q (quat wxyz), 3 v (ang world-ish local) — phase 2
 HINGE = 2   # 1 q (angle), 1 v
 SLIDE = 3   # 1 q (offset), 1 v
+SCREW = 4   # 1 q (angle), 1 v — hinge with coupled translation
+#             z = pitch/(2π)·θ along the axis: structural thread model
+#             for Factory nut-bolt (replaces PhysX SDF thread contact)
 
-JOINT_NQ = {FREE: 7, BALL: 4, HINGE: 1, SLIDE: 1}
-JOINT_NV = {FREE: 6, BALL: 3, HINGE: 1, SLIDE: 1}
+JOINT_NQ = {FREE: 7, BALL: 4, HINGE: 1, SLIDE: 1, SCREW: 1}
+JOINT_NV = {FREE: 6, BALL: 3, HINGE: 1, SLIDE: 1, SCREW: 1}
 
 # Geom types
 GEOM_PLANE = 0
@@ -135,9 +138,18 @@ class ArticulationModel:
         default_factory=lambda: np.zeros((0, 2), np.float32))
     ten_names: tuple = ()
 
+    # per-joint thread pitch [m/turn] for SCREW joints (0 otherwise);
+    # None = all zero (models built before screw support)
+    jnt_pitch: Any = None
+
     @property
     def ntendon(self) -> int:
         return len(self.ten_range)
+
+    def jnt_pitch_arr(self) -> np.ndarray:
+        if self.jnt_pitch is None:
+            return np.zeros(self.njnt, np.float32)
+        return np.asarray(self.jnt_pitch, np.float32)
 
     @property
     def nbody(self) -> int:

@@ -28,6 +28,10 @@ isaacgym_task_map = {
     "Trifinger": _lazy("trifinger", "Trifinger"),
     "FactoryTaskNutBoltPick": _lazy("factory.task_nut_bolt_pick",
                                     "FactoryTaskNutBoltPick"),
+    "FactoryTaskNutBoltPlace": _lazy("factory.task_nut_bolt_place",
+                                     "FactoryTaskNutBoltPlace"),
+    "FactoryTaskNutBoltScrew": _lazy("factory.task_nut_bolt_screw",
+                                     "FactoryTaskNutBoltScrew"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

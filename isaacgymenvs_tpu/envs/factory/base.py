@@ -100,7 +100,7 @@ class FactoryBase(VecTask):
             gravity=(0.0, 0.0, 0.0) if sim_cfg.get("disable_gravity", False)
             else (0.0, 0.0, -9.81),
             max_angular_velocity=2 * np.pi if add_damping else 64.0,
-            max_linear_velocity=10.0 if add_damping else 1000.0,
+            max_linear_velocity=1.0 if add_damping else 1000.0,
             # the light nut's contact rows need more APGD sweeps to
             # converge inside the stiff franka constraint system (the
             # reference runs 16 PhysX TGS position iterations,
@@ -134,11 +134,16 @@ class FactoryBase(VecTask):
     def _build_scene(self):
         franka = load_urdf(_FRANKA, fix_base=True,
                            collapse_fixed_joints=True)
+        # armature 0.01 as the reference franka asset.  The reference
+        # ZEROES passive DOF stiffness/damping in manual control mode
+        # (factory_base.py:464-480) — the URDF's damping=10 would swamp
+        # the deliberately weak task-space controllers (Lambda_yaw~0.02).
+        # Keep 0.1 as the `add_damping` rigid-body-drag equivalent.
         franka = dataclasses.replace(
             franka,
             dof_armature=np.full(franka.nv, 0.01, np.float64),
-            dof_damping=np.asarray(franka.dof_damping)
-            + np.where(np.arange(franka.nv) < 7, 2.0, 0.0))
+            dof_damping=np.full(franka.nv, 0.1, np.float64),
+            dof_stiffness=np.zeros(franka.nv, np.float64))
         if self.cfg_ctrl["motor_ctrl_mode"] == "gym":
             kp = np.concatenate([
                 np.asarray(self.cfg_ctrl["joint_prop_gains"]),

@@ -68,6 +68,9 @@ class FactoryEnvNutBolt(FactoryBase):
         self.subassembly = subs[0]
         self.nut_bolt_info = NUT_BOLT_INFO[self.subassembly]
         self.nut_bolt_density = env_cfg.get("nut_bolt_density", 7850.0)
+        # hex-nut-with-hole volume is ~55% of its bounding box;
+        # keep the reference steel density but match the real mass
+        self.nut_hollow_factor = env_cfg.get("nut_hollow_factor", 0.55)
         self.nut_bolt_friction = env_cfg.get("nut_bolt_friction", 0.3)
         self.nut_lateral_offset = env_cfg.get("nut_lateral_offset", 0.1)
         super().__init__(cfg, num_envs)
@@ -78,7 +81,8 @@ class FactoryEnvNutBolt(FactoryBase):
         w, h = info["nut_width_min"], info["nut_height"]
         zoff = info["bolt_head_height"] + h / 2  # origin convention
         xml = box_model_xml(
-            "nut", (w, w, h), density=self.nut_bolt_density,
+            "nut", (w, w, h),
+            density=self.nut_bolt_density * self.nut_hollow_factor,
             free=self.nut_free,
             geoms=[("box", (w / 2, w / 2, h / 2), (0, 0, zoff))])
         return load_mjcf(xml)
@@ -97,8 +101,49 @@ class FactoryEnvNutBolt(FactoryBase):
                    ("box", (d / 2, d / 2, sl / 2), (0, 0, hh + sl / 2))])
         return load_mjcf(xml)
 
+    def _nutbolt_screw_model(self):
+        """Bolt (fixed) + nut on a SCREW joint along the bolt axis:
+        z = pitch/(2*pi) * theta is built into the joint's motion
+        subspace (physics/kinematics.py), so thread engagement is
+        structural — no constraint row to fight the finger contacts.
+        Replaces the reference's SDF thread contact
+        (factory_env_nut_bolt.py:89-105, docs/factory.md); thread
+        friction is emulated by joint frictionloss/damping (real
+        threads hold position when external torque is removed)."""
+        info = self.nut_bolt_info
+        w, h = info["nut_width_min"], info["nut_height"]
+        d = info["bolt_width"]
+        hh = info["bolt_head_height"]
+        sl = info["bolt_shank_length"]
+        head_w = 1.5 * d
+        pitch = info["thread_pitch"]
+        # theta range maps to z travel [-shank_length, +2 mm] via pitch
+        th_lo = -sl / pitch * 2 * np.pi
+        th_hi = 0.002 / pitch * 2 * np.pi
+        den = self.nut_bolt_density
+        xml = f"""<mujoco model="nutbolt">
+        <compiler inertiafromgeom="true" angle="radian"/>
+        <worldbody><body name="bolt">
+          <geom type="box" size="{head_w/2} {head_w/2} {hh/2}"
+                pos="0 0 {hh/2}" density="{den}"/>
+          <geom type="box" size="{d/2} {d/2} {sl/2}"
+                pos="0 0 {hh + sl/2}" density="{den}"/>
+          <body name="nut" pos="0 0 {sl}">
+            <joint type="hinge" name="thread" axis="0 0 1"
+                   screw_pitch="{pitch}" limited="true"
+                   range="{th_lo} {th_hi}"
+                   damping="0.01" frictionloss="0.03"/>
+            <geom type="box" size="{w/2} {w/2} {h/2}"
+                  pos="0 0 {hh + h/2}" density="{den}"/>
+          </body>
+        </body></worldbody></mujoco>"""
+        return load_mjcf(xml)
+
     def _env_actors(self):
         th = self.table_height
+        if not self.nut_free:  # screw assembly: one fixed-base actor
+            return [("nutbolt", self._nutbolt_screw_model(),
+                     [0.0, 0.0, th], [1.0, 0, 0, 0])]
         return [
             ("nut", self._nut_model(),
              [0.0, self.nut_lateral_offset, th], [1.0, 0, 0, 0]),
@@ -106,7 +151,7 @@ class FactoryEnvNutBolt(FactoryBase):
         ]
 
     def _kinematic_actors(self):
-        return ["bolt"]
+        return ["bolt"] if self.nut_free else []
 
     def _build_scene(self):
         super()._build_scene()
@@ -114,10 +159,17 @@ class FactoryEnvNutBolt(FactoryBase):
         if self.nut_free:
             self.nut_q = sl["nut"]["q"][0]
             self.nut_v = sl["nut"]["v"][0]
-        self.bolt_q = sl["bolt"]["q"][0]
-        self.bolt_v = sl["bolt"]["v"][0]
-        self.nut_body = self.model.body_index("nut/nut")
-        self.bolt_body = self.model.body_index("bolt/bolt")
+            self.bolt_q = sl["bolt"]["q"][0]
+            self.bolt_v = sl["bolt"]["v"][0]
+            self.nut_body = self.model.body_index("nut/nut")
+            self.bolt_body = self.model.body_index("bolt/bolt")
+        else:
+            self.nut_body = self.model.body_index("nutbolt/nut")
+            self.bolt_body = self.model.body_index("nutbolt/bolt")
+            for ji in range(self.model.njnt):
+                if self.model.jnt_names[ji] == "nutbolt/thread":
+                    self.thread_rot_q = int(self.model.jnt_qadr[ji])
+                    self.thread_rot_v = int(self.model.jnt_vadr[ji])
 
         nf = np.array(self.model.geom_friction, np.float64)
         for gi, nm in enumerate(self.model.geom_names):
@@ -129,11 +181,16 @@ class FactoryEnvNutBolt(FactoryBase):
                 nf[gi] = self.franka_friction
         object.__setattr__(self.model, "geom_friction", nf)
 
-        bp = [("nut/nut", "table/table"),
-              ("nut/nut", "franka/panda_leftfinger"),
-              ("nut/nut", "franka/panda_rightfinger"),
-              ("nut/nut", "franka/panda_hand"),
-              ("nut/nut", "bolt/bolt")]
+        if self.nut_free:
+            bp = [("nut/nut", "table/table"),
+                  ("nut/nut", "franka/panda_leftfinger"),
+                  ("nut/nut", "franka/panda_rightfinger"),
+                  ("nut/nut", "franka/panda_hand"),
+                  ("nut/nut", "bolt/bolt")]
+        else:  # screw: finger <-> nut only (thread is the joint itself)
+            bp = [("nutbolt/nut", "franka/panda_leftfinger"),
+                  ("nutbolt/nut", "franka/panda_rightfinger"),
+                  ("nutbolt/nut", "franka/panda_hand")]
         self.pair_contacts = build_pair_contacts(self.model, body_pairs=bp)
 
     # -------------------------------------------------------------- state

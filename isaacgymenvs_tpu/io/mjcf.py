@@ -210,12 +210,16 @@ class _Builder:
         a = self.defs.resolve(el, el.get("class", cls))
         jtype = "free" if el.tag == "freejoint" else a.get("type", "hinge")
         tmap = {"free": T.FREE, "ball": T.BALL, "hinge": T.HINGE, "slide": T.SLIDE}
+        # extension: screw_pitch="<m/turn>" on a hinge makes a SCREW joint
+        # (structural thread coupling z = pitch/(2π)·θ, Factory nut-bolt)
+        pitch = float(a.get("screw_pitch", 0.0))
+        jt = T.SCREW if (jtype == "hinge" and pitch != 0.0) else tmap[jtype]
         limited = a.get("limited", "false") in ("true", "1") and a.get("range") is not None
         rng = _parse_vec(a.get("range"), 2, np.zeros(2))
-        if jtype == "hinge":
+        if jtype == "hinge":  # screw q is also an angle
             rng = rng * self.angle
         self.joints.append(dict(
-            body=body_id, type=tmap[jtype],
+            body=body_id, type=jt, pitch=pitch,
             name=el.get("name", f"jnt{len(self.joints)}"),
             pos=_parse_vec(a.get("pos"), 3, np.zeros(3)),
             axis=_parse_vec(a.get("axis"), 3, np.array([0.0, 0, 1])),
@@ -456,6 +460,7 @@ def _finalize(name, builder, acts, init_qpos,
         jnt_vadr=np.array(vadr, dtype=np.int32),
         jnt_range=f32([j["range"] for j in joints]).reshape(len(joints), 2),
         jnt_limited=np.array([j["limited"] for j in joints], dtype=bool),
+        jnt_pitch=f32([j.get("pitch", 0.0) for j in joints]),
         jnt_names=tuple(j["name"] for j in joints),
         dof_armature=f32(dof_armature),
         dof_damping=f32(dof_damping),

@@ -60,6 +60,14 @@ class ContactSet:
 _BOX_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                          for sz in (-1, 1)], dtype=np.float32)
 
+# box-box candidates use the full surface lattice (corners + edge
+# midpoints + face centers, 26 points): pure corner decomposition misses
+# "cross" face-face configurations where neither box has a corner inside
+# the other (e.g. gripper fingerpad faces clamping a nut flat)
+_BOX_LATTICE = np.array([[sx, sy, sz] for sx in (-1, 0, 1)
+                         for sy in (-1, 0, 1) for sz in (-1, 0, 1)
+                         if (sx, sy, sz) != (0, 0, 0)], dtype=np.float32)
+
 
 @dataclasses.dataclass(frozen=True)
 class PairSet:
@@ -226,7 +234,7 @@ def build_pair_contacts(model: T.ArticulationModel,
                 from ..io.mjcf import _quat_to_mat_np
                 R = _quat_to_mat_np(model.geom_quat[g])
                 return [model.geom_pos[g] + R @ (c * model.geom_size[g])
-                        for c in _BOX_CORNERS]
+                        for c in _BOX_LATTICE]
             for pt in corners(ga):
                 sb.append((ba, bb, ga, gb, pt, 0.0, model.geom_pos[gb],
                            model.geom_quat[gb], model.geom_size[gb]))

@@ -156,7 +156,7 @@ def passive_forces(model: T.ArticulationModel, params: T.PhysParams,
     hi = np.zeros(nv, dtype=np.float32)
     for k in range(nv):
         ji = int(model.dof_jnt[k])
-        if int(model.jnt_type[ji]) in (T.HINGE, T.SLIDE):
+        if int(model.jnt_type[ji]) in (T.HINGE, T.SLIDE, T.SCREW):
             limited[k] = bool(model.jnt_limited[ji])
             lo[k], hi[k] = model.jnt_range[ji]
 

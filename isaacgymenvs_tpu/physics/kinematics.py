@@ -73,18 +73,21 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
             anchor = jnp.asarray(st.slot_anchor[bl, s], dtype)
             qadr = st.slot_qadr[bl, s]
             ang = q[qadr]                        # (nl,) garbage where unused
-            # hinge
+            # hinge (screw adds the coupled translation coef·θ·axis)
             rq = quat_from_axis_angle(axis, ang)
             nq_ = quat_mul(quat_l, rq)
+            coef = jnp.asarray(st.slot_coef[bl, s], dtype)
             pos_h = pos_l + quat_rotate(quat_l, anchor) \
-                - quat_rotate(nq_, anchor)
+                - quat_rotate(nq_, anchor) \
+                + quat_rotate(quat_l, axis) * (coef * ang)[:, None]
             # slide
             pos_s = pos_l + quat_rotate(quat_l, axis) * ang[:, None]
             # free (roots): q slices at static offsets
             pos_f = q[np.stack([qadr, qadr + 1, qadr + 2], -1)]
             quat_f = q[np.stack([qadr + 3, qadr + 4, qadr + 5, qadr + 6],
                                 -1)]
-            is_h = jnp.asarray(stype == T.HINGE)[:, None]
+            is_h = jnp.asarray((stype == T.HINGE)
+                               | (stype == T.SCREW))[:, None]
             is_s = jnp.asarray(stype == T.SLIDE)[:, None]
             is_f = jnp.asarray(stype == T.FREE)[:, None]
             pos_l = jnp.where(is_h, pos_h,
@@ -105,7 +108,10 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
     dp = pos[db] - ref
     a_w = quat_rotate(dq_, jnp.asarray(st.dof_axis, dtype))
     anchor_w = dp + quat_rotate(dq_, jnp.asarray(st.dof_anchor, dtype))
-    S_h = jnp.concatenate([a_w, jnp.cross(anchor_w, a_w)], -1)
+    # screw dofs add coef·axis to the linear part (coef=0 for hinges)
+    S_h = jnp.concatenate(
+        [a_w, jnp.cross(anchor_w, a_w)
+         + jnp.asarray(st.dof_coef, dtype)[:, None] * a_w], -1)
     S_s = jnp.concatenate([jnp.zeros((nv, 3), dtype), a_w], -1)
     e_sub = np.zeros((nv, 3), np.float32)
     rot_sub = np.zeros((nv, 3), np.float32)
@@ -120,7 +126,8 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
                             jnp.asarray(e_sub, dtype)], -1)
     e_rot = jnp.asarray(rot_sub, dtype)
     S_fr = jnp.concatenate([e_rot, jnp.cross(dp, e_rot)], -1)
-    is_h = jnp.asarray(st.dof_type == T.HINGE)[:, None]
+    is_h = jnp.asarray((st.dof_type == T.HINGE)
+                       | (st.dof_type == T.SCREW))[:, None]
     is_s = jnp.asarray(st.dof_type == T.SLIDE)[:, None]
     is_ft = jnp.asarray((st.dof_type == T.FREE) & (st.dof_sub < 3))[:, None]
     S = jnp.where(is_h, S_h,
@@ -174,12 +181,15 @@ def _forward_kinematics_unrolled(model: T.ArticulationModel,
             if jt == T.FREE:
                 pos = q[qa:qa + 3]
                 quat = q[qa + 3:qa + 7]
-            elif jt == T.HINGE:
+            elif jt in (T.HINGE, T.SCREW):
                 axis = jnp.asarray(model.jnt_axis[ji], dtype)
                 anchor = jnp.asarray(model.jnt_pos[ji], dtype)
                 rq = quat_from_axis_angle(axis, q[qa])
                 new_quat = quat_mul(quat, rq)
                 pos = pos + quat_rotate(quat, anchor) - quat_rotate(new_quat, anchor)
+                if jt == T.SCREW:
+                    coef = float(model.jnt_pitch_arr()[ji]) / (2 * np.pi)
+                    pos = pos + quat_rotate(quat, axis) * (coef * q[qa])
                 quat = new_quat
             elif jt == T.SLIDE:
                 axis = jnp.asarray(model.jnt_axis[ji], dtype)
@@ -213,11 +223,13 @@ def _forward_kinematics_unrolled(model: T.ArticulationModel,
             for k in range(3):
                 e = jnp.zeros(3, dtype).at[k].set(1.0)
                 S[va + 3 + k] = jnp.concatenate([e, jnp.cross(pos - ref, e)])  # rotation about body origin
-        elif jt == T.HINGE:
+        elif jt in (T.HINGE, T.SCREW):
             a_w = quat_rotate(quat, jnp.asarray(model.jnt_axis[ji], dtype))
             anchor_w = (pos - ref) + quat_rotate(
                 quat, jnp.asarray(model.jnt_pos[ji], dtype))
-            S[va] = jnp.concatenate([a_w, jnp.cross(anchor_w, a_w)])
+            coef = float(model.jnt_pitch_arr()[ji]) / (2 * np.pi)
+            S[va] = jnp.concatenate(
+                [a_w, jnp.cross(anchor_w, a_w) + coef * a_w])
         elif jt == T.SLIDE:
             a_w = quat_rotate(quat, jnp.asarray(model.jnt_axis[ji], dtype))
             S[va] = jnp.concatenate([jnp.zeros(3, dtype), a_w])

@@ -83,7 +83,7 @@ def _limit_rows(model: T.ArticulationModel):
     for ji in range(model.njnt):
         if not model.jnt_limited[ji]:
             continue
-        if int(model.jnt_type[ji]) not in (T.HINGE, T.SLIDE):
+        if int(model.jnt_type[ji]) not in (T.HINGE, T.SLIDE, T.SCREW):
             continue
         va = int(model.jnt_vadr[ji])
         lo, hi = float(model.jnt_range[ji][0]), float(model.jnt_range[ji][1])

@@ -48,11 +48,14 @@ class TreeStructure:
         # per-slot static arrays (indexed by body): joint type/axis/anchor/
         # qadr/vadr; -1 slots get type=-1
         jt = np.asarray(model.jnt_type)
+        pitch = model.jnt_pitch_arr()
         self.slot_type = np.full((nb, self.jmax), -1, np.int32)
         self.slot_axis = np.zeros((nb, self.jmax, 3), np.float32)
         self.slot_anchor = np.zeros((nb, self.jmax, 3), np.float32)
         self.slot_qadr = np.zeros((nb, self.jmax), np.int32)
         self.slot_vadr = np.zeros((nb, self.jmax), np.int32)
+        # screw coupling coefficient dz/dtheta = pitch/(2π)
+        self.slot_coef = np.zeros((nb, self.jmax), np.float32)
         for i in range(nb):
             for s, ji in enumerate(jnts_of[i]):
                 self.slot_type[i, s] = jt[ji]
@@ -60,6 +63,7 @@ class TreeStructure:
                 self.slot_anchor[i, s] = model.jnt_pos[ji]
                 self.slot_qadr[i, s] = model.jnt_qadr[ji]
                 self.slot_vadr[i, s] = model.jnt_vadr[ji]
+                self.slot_coef[i, s] = pitch[ji] / (2 * np.pi)
 
         self.has_ball = bool((jt == T.BALL).any())
 
@@ -75,18 +79,21 @@ class TreeStructure:
         self.dof_qadr = np.zeros(nv, np.int32)
         # sub-index of the dof within its joint (0..5 for free)
         self.dof_sub = np.zeros(nv, np.int32)
+        self.dof_coef = np.zeros(nv, np.float32)
         for k in range(nv):
             ji = int(model.dof_jnt[k])
             self.dof_axis[k] = model.jnt_axis[ji]
             self.dof_anchor[k] = model.jnt_pos[ji]
             self.dof_qadr[k] = model.jnt_qadr[ji]
             self.dof_sub[k] = k - int(model.jnt_vadr[ji])
+            self.dof_coef[k] = pitch[ji] / (2 * np.pi)
         # qpos index of each dof for 1-dof joints (0 otherwise) + mask
-        self.dof_is_1d = np.isin(self.dof_type, (T.HINGE, T.SLIDE))
+        self.dof_is_1d = np.isin(self.dof_type, (T.HINGE, T.SLIDE, T.SCREW))
         self.dof_qpos_idx = np.where(self.dof_is_1d, self.dof_qadr, 0)
 
         # integration scatter maps: 1-dof joints q[qadr] += dt qd[vadr]
-        one_d = [ji for ji in range(nj) if jt[ji] in (T.HINGE, T.SLIDE)]
+        one_d = [ji for ji in range(nj)
+                 if jt[ji] in (T.HINGE, T.SLIDE, T.SCREW)]
         self.int1_qadr = np.array([model.jnt_qadr[j] for j in one_d],
                                   np.int32)
         self.int1_vadr = np.array([model.jnt_vadr[j] for j in one_d],
