@@ -32,6 +32,10 @@ isaacgym_task_map = {
                                      "FactoryTaskNutBoltPlace"),
     "FactoryTaskNutBoltScrew": _lazy("factory.task_nut_bolt_screw",
                                      "FactoryTaskNutBoltScrew"),
+    "FactoryTaskInsertion": _lazy("factory.task_insertion",
+                                  "FactoryTaskInsertion"),
+    "FactoryTaskGears": _lazy("factory.task_insertion",
+                              "FactoryTaskGears"),
 }
 
 from .base import VecTask, EnvState, TimeStep  # noqa: F401,E402

@@ -181,12 +181,14 @@ class PPO:
             tx = optax.scale_by_adam(eps=1e-8)
         self.tx = tx
         n_total = cfg.horizon_length * env.num_envs
-        if cfg.minibatch_size > n_total:
-            # YAMLs assume the default num_envs; smaller runs shrink with it
-            cfg = dataclasses.replace(cfg, minibatch_size=n_total)
+        if cfg.minibatch_size > n_total or n_total % cfg.minibatch_size:
+            # YAMLs assume the default num_envs; smaller runs shrink with
+            # it — snap to the largest divisor of the batch <= requested
+            mb = min(cfg.minibatch_size, n_total)
+            while n_total % mb:
+                mb -= 1
+            cfg = dataclasses.replace(cfg, minibatch_size=mb)
             self.cfg = cfg
-        assert n_total % cfg.minibatch_size == 0, \
-            f"batch {n_total} not divisible by minibatch {cfg.minibatch_size}"
         self.num_minibatches = n_total // cfg.minibatch_size
 
         self.epoch_fn = jax.jit(self._epoch)

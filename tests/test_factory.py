@@ -242,3 +242,23 @@ def test_screw_env_thread_advances():
     th = state.art.q[0, env.thread_rot_q]
     assert float(th) < float(th0) - 0.5  # nut turned > 0.5 rad down
     assert not bool(jnp.isnan(state.art.q).any())
+
+
+# ------------------------------------------------------- templates (non-RL)
+@pytest.mark.parametrize("task,check", [
+    ("FactoryTaskInsertion", "plug_q"), ("FactoryTaskGears", "base_q")])
+def test_template_tasks_step(task, check):
+    """Insertion/Gears ship as environment templates (zero reward,
+    timeout episodes) — the scene must construct and step stably."""
+    env = isaacgymenvs_tpu.make(task=task, num_envs=2)
+    assert env.num_obs == 32 and env.num_acts == 12
+    assert hasattr(env, check)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 32) and not bool(jnp.isnan(obs).any())
+    step = jax.jit(env.step)
+    k = jax.random.PRNGKey(1)
+    for _ in range(10):
+        k, sk = jax.random.split(k)
+        state, ts = step(state, 0.3 * jax.random.normal(sk, (2, 12)))
+    assert not bool(jnp.isnan(state.art.q).any())
+    assert float(jnp.abs(ts.reward).max()) == 0.0
