@@ -21,6 +21,10 @@ isaacgym_task_map = {
     "Ingenuity": _lazy("ingenuity", "Ingenuity"),
     "Quadcopter": _lazy("quadcopter", "Quadcopter"),
     "ShadowHand": _lazy("shadow_hand", "ShadowHand"),
+    # OpenAI obs variants: same class, cfg/task/ShadowHandOpenAI_*.yaml
+    # (reference tasks/__init__.py maps both names to ShadowHand)
+    "ShadowHandOpenAI_FF": _lazy("shadow_hand", "ShadowHand"),
+    "ShadowHandOpenAI_LSTM": _lazy("shadow_hand", "ShadowHand"),
     "AllegroHand": _lazy("allegro_hand", "AllegroHand"),
     "HumanoidAMP": _lazy("humanoid_amp", "HumanoidAMP"),
     "FrankaCabinet": _lazy("franka_cabinet", "FrankaCabinet"),

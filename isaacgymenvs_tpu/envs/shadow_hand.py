@@ -71,6 +71,14 @@ class ShadowHand(VecTask):
         self.asymmetric_obs = env.get("asymmetric_observations", False)
         self.num_states = self.states_dim if self.asymmetric_obs else 0
         self.max_episode_length = env.get("episodeLength", 600)
+        # OpenAI variants: resetTime [s] overrides episodeLength
+        # (reference shadow_hand.py reset_time handling,
+        # cfg/task/ShadowHandOpenAI_FF.yaml:11-12)
+        reset_time = env.get("resetTime", -1)
+        if reset_time > 0:
+            dt = (cfg or {}).get("sim", {}).get("dt", 1.0 / 60.0)
+            self.max_episode_length = int(round(
+                reset_time / (env.get("controlFrequencyInv", 1) * dt)))
         self.dist_reward_scale = env.get("distRewardScale", -10.0)
         self.rot_reward_scale = env.get("rotRewardScale", 1.0)
         self.rot_eps = env.get("rotEps", 0.1)

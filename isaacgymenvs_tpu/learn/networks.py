@@ -63,6 +63,68 @@ class ActorCritic(nn.Module):
         return mu, log_sigma, value[..., 0]
 
 
+class ActorCriticLSTM(nn.Module):
+    """rl_games `rnn: lstm` variant (ShadowHandPPOAsymmLSTM.yaml:33-38,
+    AnymalTerrainPPO_LSTM.yaml): obs -> [MLP] -> LSTM -> [LayerNorm] ->
+    [MLP] -> heads, hidden state zeroed at episode starts.
+
+    __call__(obs_seq (T,B,F), carry, first_seq (T,B)) ->
+        (mu (T,B,A), log_sigma (A,), value (T,B), new_carry)
+    carry: tuple over layers of (c, h), each (B, rnn_units).
+    `first_seq[t]` is 1 where obs_seq[t] is the first observation of an
+    episode (the previous step's done flag) — the state is zeroed there,
+    matching rl_games' RNN-state masking on done.
+    """
+
+    num_actions: int
+    units: Sequence[int] = (512, 512, 256, 128)
+    activation: str = "elu"
+    rnn_units: int = 1024
+    rnn_layers: int = 1
+    before_mlp: bool = True   # True: LSTM directly on obs, MLP after
+    layer_norm: bool = True
+    sigma_init: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def initial_carry(self, batch: int):
+        return tuple(
+            (jnp.zeros((batch, self.rnn_units)),
+             jnp.zeros((batch, self.rnn_units)))
+            for _ in range(self.rnn_layers))
+
+    @nn.compact
+    def __call__(self, obs_seq, carry, first_seq):
+        x = obs_seq
+        if not self.before_mlp:
+            x = MLP(self.units, self.activation, self.dtype)(x)
+        cells = [nn.OptimizedLSTMCell(self.rnn_units, name=f"lstm{i}")
+                 for i in range(self.rnn_layers)]
+        outs = []
+        carry = tuple(carry)
+        for t in range(obs_seq.shape[0]):   # seq_len is small (<= 16)
+            keep = (1.0 - first_seq[t])[:, None]
+            x_t = x[t]
+            new_carry = []
+            for i, cell in enumerate(cells):
+                c, h = carry[i]
+                (c, h), x_t = cell((c * keep, h * keep), x_t)
+                new_carry.append((c, h))
+            carry = tuple(new_carry)
+            outs.append(x_t)
+        y = jnp.stack(outs)
+        if self.layer_norm:
+            y = nn.LayerNorm(name="rnn_ln")(y)
+        if self.before_mlp:
+            y = MLP(self.units, self.activation, self.dtype)(y)
+        mu = nn.Dense(self.num_actions, dtype=jnp.float32,
+                      kernel_init=nn.initializers.lecun_normal())(y)
+        log_sigma = self.param(
+            "log_sigma", nn.initializers.constant(self.sigma_init),
+            (self.num_actions,))
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(y)[..., 0]
+        return mu, log_sigma, value, carry
+
+
 class CentralValueNet(nn.Module):
     """Asymmetric critic over privileged states
     (`central_value_config`, ShadowHandPPOAsymm*)."""

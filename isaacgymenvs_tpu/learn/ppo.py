@@ -71,6 +71,16 @@ class PPOConfig:
     central_value: bool = False
     cv_units: tuple = (512, 256, 128)
     cv_activation: str = "elu"
+    # rl_games `rnn: lstm` policy (ShadowHandPPOAsymmLSTM.yaml:33-38):
+    # rnn_units=0 disables; BPTT over seq_len chunks with stored-state
+    # initialization, hidden zeroed at episode starts.  The asymmetric
+    # critic stays an MLP (documented deviation: the reference's
+    # central-value net can itself be an LSTM).
+    rnn_units: int = 0
+    rnn_layers: int = 1
+    rnn_before_mlp: bool = True
+    rnn_layer_norm: bool = True
+    seq_len: int = 4
 
     @staticmethod
     def from_rlgames(params: dict) -> "PPOConfig":
@@ -87,6 +97,14 @@ class PPOConfig:
                 central_value=True,
                 cv_units=tuple(cv_mlp.get("units", (512, 256, 128))),
                 cv_activation=cv_mlp.get("activation", "elu"))
+        rnn = net.get("rnn")
+        if rnn and rnn.get("name", "lstm") == "lstm":
+            cv_kwargs.update(
+                rnn_units=int(rnn.get("units", 256)),
+                rnn_layers=int(rnn.get("layers", 1)),
+                rnn_before_mlp=bool(rnn.get("before_mlp", False)),
+                rnn_layer_norm=bool(rnn.get("layer_norm", False)),
+                seq_len=int(cfg.get("seq_length", cfg.get("seq_len", 4))))
         return PPOConfig(
             **cv_kwargs,
             horizon_length=cfg.get("horizon_length", 16),
@@ -137,6 +155,9 @@ class TrainState:
     cv_params: Any = None
     state_rms: Any = None
     states: Any = None  # (N, num_states) privileged states
+    # LSTM policy extras (rnn_units > 0)
+    rnn_carry: Any = None   # tuple over layers of (c, h), each (N, units)
+    first: Any = None       # (N,) 1.0 where obs is an episode start
 
 
 def _gauss_logp(mu, log_sigma, action):
@@ -164,9 +185,21 @@ class PPO:
         self.cfg = cfg
         self.seed = seed
         dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
-        self.net = ActorCritic(num_actions=env.num_acts, units=cfg.units,
-                               activation=cfg.activation,
-                               separate=cfg.separate, dtype=dtype)
+        self.rnn = cfg.rnn_units > 0
+        if self.rnn:
+            from .networks import ActorCriticLSTM
+            assert cfg.horizon_length % cfg.seq_len == 0, \
+                "horizon_length must be a multiple of seq_len (BPTT chunks)"
+            self.net = ActorCriticLSTM(
+                num_actions=env.num_acts, units=cfg.units,
+                activation=cfg.activation, rnn_units=cfg.rnn_units,
+                rnn_layers=cfg.rnn_layers, before_mlp=cfg.rnn_before_mlp,
+                layer_norm=cfg.rnn_layer_norm, dtype=dtype)
+        else:
+            self.net = ActorCritic(num_actions=env.num_acts,
+                                   units=cfg.units,
+                                   activation=cfg.activation,
+                                   separate=cfg.separate, dtype=dtype)
         self.cv_net = None
         if cfg.central_value:
             from .networks import MLP
@@ -181,13 +214,16 @@ class PPO:
             tx = optax.scale_by_adam(eps=1e-8)
         self.tx = tx
         n_total = cfg.horizon_length * env.num_envs
-        if cfg.minibatch_size > n_total or n_total % cfg.minibatch_size:
+        step = cfg.seq_len if self.rnn else 1
+        if cfg.minibatch_size > n_total or n_total % cfg.minibatch_size \
+                or cfg.minibatch_size % step:
             # YAMLs assume the default num_envs; smaller runs shrink with
             # it — snap to the largest divisor of the batch <= requested
-            mb = min(cfg.minibatch_size, n_total)
-            while n_total % mb:
-                mb -= 1
-            cfg = dataclasses.replace(cfg, minibatch_size=mb)
+            # (and a multiple of seq_len for BPTT minibatches)
+            mb = min(cfg.minibatch_size // step * step, n_total)
+            while mb > step and (n_total % mb or mb % step):
+                mb -= step
+            cfg = dataclasses.replace(cfg, minibatch_size=max(mb, step))
             self.cfg = cfg
         self.num_minibatches = n_total // cfg.minibatch_size
 
@@ -198,8 +234,15 @@ class PPO:
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         k_env, k_net, key = jax.random.split(key, 3)
         env_state, obs = self.env.reset(k_env)
-        params = self.net.init(k_net, obs[:1])
         n = self.env.num_envs
+        rnn_carry = first = None
+        if self.rnn:
+            rnn_carry = self.net.initial_carry(n)
+            first = jnp.ones(n)
+            params = self.net.init(k_net, obs[None, :],
+                                   self.net.initial_carry(n), first[None])
+        else:
+            params = self.net.init(k_net, obs[:1])
         cv_params = state_rms = states = None
         if self.cfg.central_value:
             ns = self.env.num_states
@@ -220,6 +263,7 @@ class PPO:
             epoch=jnp.asarray(0, jnp.int32),
             cum_reward=jnp.zeros(n), cum_length=jnp.zeros(n, jnp.int32),
             cv_params=cv_params, state_rms=state_rms, states=states,
+            rnn_carry=rnn_carry, first=first,
         )
 
     # ------------------------------------------------------------- epoch fn
@@ -242,12 +286,28 @@ class PPO:
                 return self.cv_net.apply(ts.cv_params, s)[..., 0]
             return self._forward(ts.params, ts.obs_rms, obs)[2]
 
-        # ---------------- rollout (lax.scan over horizon) ------------------
+        rnn = self.rnn
+
+        def forward_step(obs, carry, first):
+            """One policy forward: (mu, log_sig, value_norm, new_carry)."""
+            if rnn:
+                o = (ts.obs_rms.normalize(obs) if cfg.normalize_input
+                     else obs)
+                mu, log_sig, v_n, carry = self.net.apply(
+                    ts.params, o[None], carry, first[None])
+                return mu[0], log_sig, v_n[0], carry
+            mu, log_sig, v_n = self._forward(ts.params, ts.obs_rms, obs)
+            return mu, log_sig, v_n, carry
+
+        # ------- rollout: scan over BPTT chunks x steps (one chunk for
+        # MLP policies) — chunk-start LSTM carries are kept for training
         def rollout_step(carry, _):
-            env_state, obs, states, key, cum_r, cum_l = carry
+            (env_state, obs, states, key, cum_r, cum_l, rnn_carry,
+             first) = carry
             key, k_act = jax.random.split(key)
-            mu, log_sig, _vh = self._forward(ts.params, ts.obs_rms, obs)
-            v_n = value_of(obs, states)
+            mu, log_sig, v_pol, new_carry = forward_step(obs, rnn_carry,
+                                                         first)
+            v_n = v_pol if (rnn and not cv) else value_of(obs, states)
             value = ts.value_rms.unnormalize(v_n) if cfg.normalize_value else v_n
             sigma = jnp.exp(log_sig)
             action = mu + sigma * jax.random.normal(k_act, mu.shape)
@@ -269,20 +329,38 @@ class PPO:
                         reward=reward, done=d, mu=mu)
             if cv:
                 data["states"] = states
+            if rnn:
+                data["first"] = first
             new_states = step_ts.states if cv else states
             stats = (ep_r_sum, ep_l_sum, ep_n)
-            return (env_state, step_ts.obs, new_states, key, cum_r, cum_l), \
-                (data, stats)
+            new_first = d.astype(jnp.float32) if rnn else first
+            return (env_state, step_ts.obs, new_states, key, cum_r, cum_l,
+                    new_carry, new_first), (data, stats)
+
+        chunk = cfg.seq_len if rnn else cfg.horizon_length
+        n_chunks = cfg.horizon_length // chunk
+
+        def chunk_step(carry, _):
+            chunk_carry0 = carry[6]   # rnn carry at chunk start
+            carry, out = jax.lax.scan(rollout_step, carry, None,
+                                      length=chunk)
+            return carry, (out, chunk_carry0)
 
         carry0 = (ts.env_state, ts.obs, ts.states, ts.key, ts.cum_reward,
-                  ts.cum_length)
-        (env_state, last_obs, last_states, key, cum_r, cum_l), \
-            (batch, ep_stats) = \
-            jax.lax.scan(rollout_step, carry0, None, length=cfg.horizon_length)
+                  ts.cum_length, ts.rnn_carry, ts.first)
+        carry_end, ((batch, ep_stats), chunk_carries) = jax.lax.scan(
+            chunk_step, carry0, None, length=n_chunks)
+        (env_state, last_obs, last_states, key, cum_r, cum_l,
+         last_carry, last_first) = carry_end
+        # (n_chunks, chunk, ...) -> (T, ...)
+        batch = jax.tree_util.tree_map(
+            lambda x: x.reshape((cfg.horizon_length,) + x.shape[2:]), batch)
+        ep_stats = jax.tree_util.tree_map(lambda x: x.reshape(-1), ep_stats)
 
         # bootstrap value for the final obs
-        _, log_sig0, _ = self._forward(ts.params, ts.obs_rms, last_obs)
-        v_last_n = value_of(last_obs, last_states)
+        _, _, v_pol_last, _ = forward_step(last_obs, last_carry, last_first)
+        v_last_n = (v_pol_last if (rnn and not cv)
+                    else value_of(last_obs, last_states))
         v_last = (ts.value_rms.unnormalize(v_last_n) if cfg.normalize_value
                   else v_last_n)
 
@@ -309,11 +387,25 @@ class PPO:
             state_rms = ts.state_rms.update(
                 batch["states"].reshape(-1, env.num_states))
 
-        # flatten (T, N) → (T·N,)
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), batch)
-        flat_returns = returns.reshape(-1)
-        flat_adv = adv.reshape(-1)
+        if rnn:
+            # sequence view for BPTT: (T, N, ...) -> (n_seqs, seq, ...)
+            def to_seq(x):
+                x = x.reshape((n_chunks, chunk) + x.shape[1:])
+                x = jnp.moveaxis(x, 2, 1)          # (n_chunks, N, seq, ...)
+                return x.reshape((-1, chunk) + x.shape[3:])
+            flat = jax.tree_util.tree_map(to_seq, batch)
+            # chunk-start carries: (n_chunks, layers)(c/h)(N, u) -> (n_seqs,)
+            seq_carry = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), chunk_carries)
+            flat_returns = to_seq(returns)
+            flat_adv = to_seq(adv)
+        else:
+            # flatten (T, N) → (T·N,)
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), batch)
+            seq_carry = None
+            flat_returns = returns.reshape(-1)
+            flat_adv = adv.reshape(-1)
         if cfg.normalize_advantage:
             flat_adv = (flat_adv - flat_adv.mean()) / (flat_adv.std() + 1e-8)
         old_values_n = (value_rms.normalize(flat["value"], clip=0.0)
@@ -321,7 +413,8 @@ class PPO:
         targets_n = (value_rms.normalize(flat_returns, clip=0.0)
                      if cfg.normalize_value else flat_returns)
 
-        total = flat_returns.shape[0]
+        total = (flat_returns.shape[0] if not rnn
+                 else flat_returns.shape[0] * chunk)
 
         # ---------------- minibatch SGD with adaptive-KL LR ----------------
         def loss_fn(params_all, mb):
@@ -331,7 +424,19 @@ class PPO:
                 params = params_all
             o = (obs_rms.normalize(mb["obs"]) if cfg.normalize_input
                  else mb["obs"])
-            mu, log_sig, v_n = self.net.apply(params, o)
+            if rnn:
+                # mb arrays are (mb_seqs, seq, ...): run the net time-major
+                # from the stored chunk-start state (stale-state BPTT)
+                mu, log_sig, v_n, _ = self.net.apply(
+                    params, jnp.swapaxes(o, 0, 1), mb["carry"],
+                    jnp.swapaxes(mb["first"], 0, 1))
+                mu = jnp.swapaxes(mu, 0, 1).reshape(-1, mu.shape[-1])
+                v_n = jnp.swapaxes(v_n, 0, 1).reshape(-1)
+                mb = {k: (v.reshape((-1,) + v.shape[2:])
+                          if k not in ("carry", "first") else v)
+                      for k, v in mb.items()}
+            else:
+                mu, log_sig, v_n = self.net.apply(params, o)
             if cv:
                 s = (state_rms.normalize(mb["states"])
                      if cfg.normalize_input else mb["states"])
@@ -369,7 +474,7 @@ class PPO:
             return loss, aux
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        old_log_sig = self.net.apply(ts.params, last_obs[:1])[1]
+        old_log_sig = ts.params["params"]["log_sigma"]
 
         def mb_update(carry, idx):
             params, opt_state, lr, key = carry
@@ -380,6 +485,9 @@ class PPO:
                       target=take(targets_n), old_log_sig=old_log_sig)
             if cv:
                 mb["states"] = take(flat["states"])
+            if rnn:
+                mb["first"] = take(flat["first"])
+                mb["carry"] = jax.tree_util.tree_map(take, seq_carry)
             (loss, aux), grads = grad_fn(params, mb)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(
@@ -397,8 +505,14 @@ class PPO:
                                                   aux["entropy"])
 
         def mini_epoch(carry, k):
-            perm = jax.random.permutation(k, total)
-            idxs = perm.reshape(self.num_minibatches, cfg.minibatch_size)
+            if rnn:  # sample whole sequences (rl_games seq_length)
+                perm = jax.random.permutation(k, total // chunk)
+                idxs = perm.reshape(self.num_minibatches,
+                                    cfg.minibatch_size // chunk)
+            else:
+                perm = jax.random.permutation(k, total)
+                idxs = perm.reshape(self.num_minibatches,
+                                    cfg.minibatch_size)
             return jax.lax.scan(mb_update, carry, idxs)
 
         key, *ekeys = jax.random.split(key, cfg.mini_epochs + 1)
@@ -432,11 +546,27 @@ class PPO:
             env_state=env_state, obs=last_obs, key=key,
             epoch=ts.epoch + 1, cum_reward=cum_r, cum_length=cum_l,
             cv_params=cv_params, state_rms=state_rms,
-            states=last_states if cv else None)
+            states=last_states if cv else None,
+            rnn_carry=last_carry if rnn else None,
+            first=last_first if rnn else None)
         return new_ts, metrics
 
     # ------------------------------------------------------------------ eval
     @functools.partial(jax.jit, static_argnums=0)
     def act_deterministic(self, ts: TrainState, obs):
+        if self.rnn:
+            a, _ = self.act_deterministic_rnn(ts, obs, ts.rnn_carry,
+                                              ts.first)
+            return a
         mu, _, _ = self._forward(ts.params, ts.obs_rms, obs)
         return jnp.clip(mu, -1.0, 1.0)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def act_deterministic_rnn(self, ts: TrainState, obs, carry, first):
+        """Recurrent eval step: caller threads (carry, first) and sets
+        first = done after each env step (CommonPlayer RNN-state zeroing
+        on done, learning/common_player.py:54-153)."""
+        o = ts.obs_rms.normalize(obs) if self.cfg.normalize_input else obs
+        mu, _, _, carry = self.net.apply(ts.params, o[None], carry,
+                                         first[None])
+        return jnp.clip(mu[0], -1.0, 1.0), carry

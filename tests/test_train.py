@@ -124,3 +124,42 @@ def test_central_value_asymmetric_critic():
     assert np.isfinite(float(m["c_loss"]))
     # critic learned something: value loss dropped within the run
     assert float(m["c_loss"]) < 5.0
+
+
+def test_ppo_lstm_cartpole_learns():
+    """rl_games `rnn: lstm` variant (ShadowHandPPOAsymmLSTM.yaml:33-38):
+    BPTT over seq_length chunks with chunk-start stored states; reward
+    must rise on Cartpole."""
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.learn.ppo import PPO, PPOConfig
+
+    env = isaacgymenvs_tpu.make(task="Cartpole", num_envs=64)
+    cfg = PPOConfig.from_rlgames({
+        "network": {"mlp": {"units": [32, 32]},
+                    "rnn": {"name": "lstm", "units": 64, "layers": 1,
+                            "before_mlp": True, "layer_norm": True}},
+        "config": {"horizon_length": 16, "minibatch_size": 256,
+                   "mini_epochs": 4, "seq_length": 4,
+                   "reward_shaper": {"scale_value": 0.1},
+                   "learning_rate": 3e-4, "max_epochs": 40},
+    })
+    assert cfg.rnn_units == 64 and cfg.seq_len == 4
+    agent = PPO(env, cfg, seed=0)
+    ts = agent.init()
+    first_r = last_r = None
+    for i in range(40):
+        ts, m = agent.epoch_fn(ts)
+        r = float(m["episode_reward_sum"]) / max(
+            float(m["episode_count"]), 1.0)
+        if i < 5 and first_r is None and float(m["episode_count"]) > 0:
+            first_r = r
+        if float(m["episode_count"]) > 0:
+            last_r = r
+    assert last_r is not None and first_r is not None
+    assert last_r > first_r + 20, (first_r, last_r)
+    # recurrent eval path
+    import jax.numpy as jnp
+    a, carry = agent.act_deterministic_rnn(
+        ts, ts.obs, ts.rnn_carry, ts.first)
+    assert a.shape == (64, env.num_acts)
+    assert not bool(jnp.isnan(a).any())
