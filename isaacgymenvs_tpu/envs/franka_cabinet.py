@@ -15,7 +15,7 @@ Parity with reference `tasks/franka_cabinet.py` (566 LoC):
     handle and finger-distance bonuses, open reward + staged bonuses,
     penalty when the gripper reaches behind the handle
     (`compute_franka_reward` `:488-566`).
-`numProps` clutter props are not yet modeled (documented gap).
+`numProps` 8cm clutter boxes gridded around the drawer (:261-286).
 Config `cfg/task/FrankaCabinet.yaml`.
 """
 
@@ -88,10 +88,42 @@ class FrankaCabinet(VecTask):
         cabinet = dataclasses.replace(
             cabinet, dof_damping=np.full(cabinet.nv, 10.0, np.float32))
 
-        scene = compose_models([
+        actors = [
             ("franka", franka, [1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]),
             ("cabinet", cabinet, [0.0, 0.0, 0.4]),
-        ])
+        ]
+        # prop clutter: numProps 8cm boxes (density 400) gridded around
+        # the drawer pose, reset to defaults with the env
+        # (franka_cabinet.py:67-71,204-206,261-286,401-407)
+        self.num_props = env.get("numProps", 16)
+        if self.num_props > 0:
+            from ..physics.kinematics import forward_kinematics
+            from .factory.base import box_model_xml
+            from ..io.mjcf import load_mjcf
+            scene0 = compose_models(actors)
+            kin0 = forward_kinematics(
+                scene0, scene0.default_phys_params(),
+                jnp.asarray(scene0.init_qpos), jnp.zeros(scene0.nv))
+            dp = np.asarray(
+                kin0.body_pos[scene0.body_index("cabinet/drawer_top")])
+            spacing, size = 0.09, 0.08
+            ppr = int(np.ceil(np.sqrt(self.num_props)))
+            xmin = yzmin = -0.5 * spacing * (ppr - 1)
+            self._prop_grid = []
+            count = 0
+            for j in range(ppr):
+                for k in range(ppr):
+                    if count >= self.num_props:
+                        break
+                    pos = [dp[0] + xmin + k * spacing,
+                           dp[1] + yzmin + j * spacing, dp[2]]
+                    prop = load_mjcf(box_model_xml(
+                        f"prop{count}", (size,) * 3, density=400.0))
+                    actors.append((f"prop{count}", prop, pos,
+                                   [1.0, 0, 0, 0]))
+                    self._prop_grid.append((j, k))
+                    count += 1
+        scene = compose_models(actors)
         sl = scene.actor_slices
         self.model = scene
         self.nf = sl["franka"]["v"][1]          # 9 franka dofs first
@@ -150,6 +182,17 @@ class FrankaCabinet(VecTask):
                                "franka/panda_rightfinger",
                                "franka/panda_hand")
               for d in ("cabinet/drawer_handle_top", "cabinet/drawer_top")]
+        if self.num_props > 0:
+            # props rest on the drawer; grid-NEIGHBOR prop pairs bound the
+            # candidate count (full pairwise would be 120 box-box pairs)
+            grid = {jk: i for i, jk in enumerate(self._prop_grid)}
+            for i, (j, k) in enumerate(self._prop_grid):
+                bp.append((f"prop{i}/prop{i}", "cabinet/drawer_top"))
+                for nb in ((j, k + 1), (j + 1, k)):
+                    if nb in grid:
+                        m = grid[nb]
+                        bp.append((f"prop{i}/prop{i}",
+                                   f"prop{m}/prop{m}"))
         self.pair_contacts = build_pair_contacts(scene, body_pairs=bp)
 
     # ------------------------------------------------------------------- aux

@@ -68,6 +68,11 @@ class ShadowHand(VecTask):
         env = (cfg or {}).get("env", {})
         self.obs_type = env.get("observationType", "full_state")
         self.num_obs = self.obs_dims[self.obs_type]
+        # block / egg / pen (reference shadow_hand.py:86-94); pen doubles
+        # the success tolerance (`ignore_z_rot`, :757-758)
+        self.object_type = env.get("objectType", "block")
+        assert self.object_type in ("block", "egg", "pen")
+        self.ignore_z = self.object_type == "pen"
         self.asymmetric_obs = env.get("asymmetric_observations", False)
         self.num_states = self.states_dim if self.asymmetric_obs else 0
         self.max_episode_length = env.get("episodeLength", 600)
@@ -84,6 +89,8 @@ class ShadowHand(VecTask):
         self.rot_eps = env.get("rotEps", 0.1)
         self.action_penalty_scale = env.get("actionPenaltyScale", -0.0002)
         self.success_tolerance = env.get("successTolerance", 0.1)
+        if env.get("objectType", "block") == "pen":
+            self.success_tolerance *= 2.0  # ignore_z_rot (:757-758)
         self.reach_goal_bonus = env.get("reachGoalBonus", 250.0)
         self.fall_dist = env.get("fallDistance", 0.24)
         self.fall_penalty = env.get("fallPenalty", 0.0)
@@ -115,7 +122,7 @@ class ShadowHand(VecTask):
         self.dt = self.sim.dt
 
         hand, hand_quat = self._load_hand()
-        obj = load_urdf(_BLOCK_ASSET, fix_base=False, density=567.0)
+        obj = self._load_object()
 
         obj_start = (self.object_offset[0],
                      self.object_offset[1],
@@ -155,6 +162,25 @@ class ShadowHand(VecTask):
         self.obj_mass = float(np.asarray(obj.body_mass).sum())
 
     # ------------------------------------------------------ subclass hooks
+    def _load_object(self):
+        """Manipulated object model per objectType.
+
+        block: cube_multicolor.urdf as the reference; egg/pen:
+        open_ai_assets/hand/egg.xml (ellipsoid 0.03x0.03x0.04 -> capsule
+        r=0.03 hl=0.01, same extents) and pen.xml (capsule r=0.008
+        hl=0.1), free joints, MuJoCo default density."""
+        if self.object_type == "block":
+            return load_urdf(_BLOCK_ASSET, fix_base=False, density=567.0)
+        r, hl = ((0.03, 0.01) if self.object_type == "egg"
+                 else (0.008, 0.1))
+        xml = f"""<mujoco model="object">
+        <compiler inertiafromgeom="true"/>
+        <worldbody><body name="object">
+          <joint type="free" name="object_joint" damping="0.01"/>
+          <geom type="capsule" size="{r} {hl}" density="1000"/>
+        </body></worldbody></mujoco>"""
+        return load_mjcf(xml)
+
     def _load_hand(self):
         hand = load_mjcf(self.hand_asset)
         # Isaac's importer drops the asset root-body offset (actor frame =

@@ -259,15 +259,30 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     dA = jnp.einsum("rv,vr->r", J, MinvJT)
     dinv = 1.0 / jnp.maximum(dA, 1e-9)
 
+    # rows that can carry impulse THIS solve: active normals + their
+    # friction rows, violated limits, attractor equalities.  Inactive
+    # candidate rows are projected to zero anyway, but letting them into
+    # the power iteration inflates lam_max and starves the live rows'
+    # step size (scenes with many dormant candidates — prop clutter,
+    # multi-object tables — lost ground support at 16 sweeps)
+    row_active = jnp.ones((nr,), dtype)
+    if nc:
+        act3 = jnp.tile(active.astype(dtype), 3)
+        row_active = row_active.at[:3 * nc].set(act3)
+    if nl:
+        row_active = row_active.at[3 * nc:3 * nc + nl].set(
+            lim_active.astype(dtype))
+
     def Amv_pre(x):
-        return Amv(x) * dinv
+        return Amv(x * row_active) * dinv * row_active
 
     # step size from power iteration on the PRECONDITIONED operator
     def pow_body(i, v):
         w = Amv_pre(v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
 
-    v0 = jnp.ones((nr,), dtype) / jnp.sqrt(nr)
+    v0 = row_active / jnp.maximum(
+        jnp.linalg.norm(row_active), 1e-12)
     v = jax.lax.fori_loop(0, 12, pow_body, v0)
     lam_max = jnp.linalg.norm(Amv_pre(v))
     gamma = dinv / jnp.maximum(1.5 * lam_max, 1e-6)   # per-row Γ
