@@ -118,3 +118,59 @@ def test_ant_ground_candidates(ant):
     # 1 torso sphere + 12 capsules×2 = 25 candidates
     assert cs.count == 25
     assert (cs.radius > 0).all()
+
+
+# ---------------------------------------------------------------- poselib
+def test_poselib_roundtrip_reference_motion(tmp_path):
+    """Load a reference SkeletonMotion .npy, check FK consistency, save,
+    and reload through MotionLib (the full offline->runtime path)."""
+    from isaacgymenvs_tpu.io import poselib as pl
+    src = "/root/reference/assets/amp/motions/amp_humanoid_walk.npy"
+    m = pl.SkeletonMotion.from_file(src)
+    assert m.rotation.shape[1] == 15 and m.fps > 0
+    # FK: pelvis (root) global == root_translation
+    gt = m.global_translation
+    np.testing.assert_allclose(gt[:, 0], m.root_translation, atol=1e-5)
+    # local -> global -> local round trip
+    g = pl.SkeletonState(m.skeleton_tree, m.global_rotation,
+                         m.root_translation, is_local=False)
+    np.testing.assert_allclose(
+        np.abs(np.sum(g.local_rotation * m.local_rotation, axis=-1)),
+        1.0, atol=1e-4)   # same rotation up to quat sign
+    # save + reload via MotionLib
+    out = str(tmp_path / "walk_copy.npy")
+    m.to_file(out)
+    from isaacgymenvs_tpu.io.mjcf import load_mjcf
+    from isaacgymenvs_tpu.io.motion import MotionLib
+    model = load_mjcf("/root/reference/assets/mjcf/amp_humanoid.xml")
+    lib = MotionLib(out, model,
+                    key_body_names=["right_hand", "left_hand",
+                                    "right_foot", "left_foot"])
+    assert lib.fps[0] == m.fps
+
+
+def test_poselib_retarget_identity():
+    """Retargeting a motion onto ITS OWN skeleton with the identity
+    mapping and identical tposes reproduces the global rotations."""
+    from isaacgymenvs_tpu.io import poselib as pl
+    src = "/root/reference/assets/amp/motions/amp_humanoid_walk.npy"
+    m = pl.SkeletonMotion.from_file(src)
+    tree = m.skeleton_tree
+    tpose = pl.SkeletonState.from_rotation_and_root_translation(
+        tree, pl.quat_identity((tree.num_joints,)),
+        np.zeros(3), is_local=True)
+    mapping = {n: n for n in tree.node_names}
+    out = m.retarget_to_by_tpose(mapping, tpose, tpose)
+    dot = np.abs(np.sum(out.global_rotation * m.global_rotation, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-4)
+    np.testing.assert_allclose(out.root_translation, m.root_translation,
+                               atol=1e-5)
+
+
+def test_poselib_skeleton_from_mjcf():
+    from isaacgymenvs_tpu.io import poselib as pl
+    tree = pl.SkeletonTree.from_mjcf(
+        "/root/reference/assets/mjcf/amp_humanoid.xml")
+    assert tree.num_joints >= 15
+    assert tree.parent_indices[0] == -1
+    assert "pelvis" in tree.node_names
