@@ -332,7 +332,12 @@ class PPO:
             if rnn:
                 data["first"] = first
             new_states = step_ts.states if cv else states
-            stats = (ep_r_sum, ep_l_sum, ep_n)
+            # env->logger channel: scalar task diagnostics from
+            # _reward_done (the reference's extras["episode"] dicts piped
+            # by RLGPUAlgoObserver, utils/rlgames_utils.py:108-148)
+            task_info = {k: jnp.mean(v) for k, v in step_ts.info.items()
+                         if hasattr(v, "ndim") and v.ndim <= 1}
+            stats = (ep_r_sum, ep_l_sum, ep_n, task_info)
             new_first = d.astype(jnp.float32) if rnn else first
             return (env_state, step_ts.obs, new_states, key, cum_r, cum_l,
                     new_carry, new_first), (data, stats)
@@ -537,6 +542,8 @@ class PPO:
             episode_reward_sum=jnp.sum(ep_stats[0]),
             episode_length_sum=jnp.sum(ep_stats[1]),
             episode_count=jnp.sum(ep_stats[2]),
+            **{f"episode/{k}": jnp.mean(v)
+               for k, v in ep_stats[3].items()},
             reward_mean_step=jnp.mean(batch["reward"]),
         )
 

@@ -148,8 +148,13 @@ class Runner:
         return ts
 
     def play(self, checkpoint: Optional[str] = None, games: int = 8,
-             max_steps: int = 1000):
-        """Deterministic eval (CommonPlayer.run equivalent)."""
+             max_steps: int = 1000, capture_trajectory: bool = False):
+        """Deterministic eval (CommonPlayer.run equivalent).
+
+        capture_trajectory: dump env 0's generalized coordinates per
+        step to <logdir>/trajectory.npz for offline re-rendering — the
+        headless analogue of the reference's RecordVideo wrapper
+        (train.py:114-121; no rasterizer on TPU hosts)."""
         ts = self.agent.init()
         if checkpoint:
             ts, _ = load_checkpoint(checkpoint)
@@ -159,10 +164,23 @@ class Runner:
         step = jax.jit(env.step)
         total_r = np.zeros(env.num_envs)
         finished_r, finished = [], 0
+        traj = [] if capture_trajectory else None
+        rnn = getattr(self.agent, "rnn", False)
+        if rnn:  # recurrent player: thread carry, zero on done
+            carry = self.agent.net.initial_carry(env.num_envs)
+            first = jnp.ones(env.num_envs)
         for _ in range(max_steps):
-            act = self.agent.act_deterministic(ts, obs)
+            if rnn:
+                act, carry = self.agent.act_deterministic_rnn(
+                    ts, obs, carry, first)
+            else:
+                act = self.agent.act_deterministic(ts, obs)
             env_state, t = step(env_state, act)
+            if rnn:
+                first = t.done.astype(jnp.float32)
             obs = t.obs
+            if traj is not None:
+                traj.append(np.asarray(env_state.art.q[0]))
             total_r += np.asarray(t.reward)
             d = np.asarray(t.done)
             if d.any():
@@ -171,6 +189,11 @@ class Runner:
                 total_r[d] = 0.0
             if finished >= games:
                 break
+        if traj:
+            path = os.path.join(self.logdir, "trajectory.npz")
+            np.savez(path, q=np.stack(traj),
+                     body_names=np.asarray(self.env.model.body_names))
+            print(f"trajectory dumped to {path}")
         mean_r = float(np.mean(finished_r)) if finished_r else float("nan")
         print(f"play: {finished} episodes, mean reward {mean_r:.2f}")
         return mean_r

@@ -62,6 +62,20 @@ def main():
 
     env = isaacgymenvs_tpu.make(task=task, num_envs=num_envs, cfg=task_cfg)
 
+    # optional Weights&Biases, rank 0 only (reference train.py:84-97);
+    # JSONL/TensorBoard logging always runs regardless
+    if bool(cli.pop("wandb_activate", False)) and rank == 0:
+        try:
+            import wandb
+            wandb.init(
+                project=cli.pop("wandb_project", "isaacgymenvs_tpu"),
+                entity=cli.pop("wandb_entity", None),
+                group=cli.pop("wandb_group", ""),
+                name=experiment, config={"task": task_cfg},
+                sync_tensorboard=True)
+        except ImportError:
+            print("wandb not installed; continuing with JSONL/TB logging")
+
     from isaacgymenvs_tpu.learn.runner import Runner
     runner = Runner(env, train_cfg, seed=seed,
                     logdir=f"runs/{experiment}",
@@ -75,7 +89,9 @@ def main():
         yaml.safe_dump({"task": task_cfg, "train": train_cfg, "seed": seed}, f)
 
     if test:
-        runner.play(checkpoint=checkpoint)
+        runner.play(checkpoint=checkpoint,
+                    capture_trajectory=bool(cli.pop("capture_video",
+                                                    False)))
     else:
         runner.train(checkpoint=checkpoint)
 
