@@ -243,6 +243,7 @@ class SimParams:
     solver: str = "impulse"              # "impulse" | "compliant"
     solver_iterations: int = 16          # maps PhysX num_velocity_iterations
     contact_beta: float = 0.2            # Baumgarte stabilization factor
+    power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
     # compliant (penalty) fallback — soft contacts, fully differentiable
     contact_stiffness: float = 1.0e4
@@ -259,6 +260,7 @@ class SimParams:
     def __hash__(self):
         return hash((self.dt, self.substeps, self.gravity, self.solver,
                      self.solver_iterations, self.contact_beta,
+                     self.power_iterations,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

@@ -283,7 +283,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
 
     v0 = row_active / jnp.maximum(
         jnp.linalg.norm(row_active), 1e-12)
-    v = jax.lax.fori_loop(0, 12, pow_body, v0)
+    v = jax.lax.fori_loop(0, sim.power_iterations, pow_body, v0)
     lam_max = jnp.linalg.norm(Amv_pre(v))
     gamma = dinv / jnp.maximum(1.5 * lam_max, 1e-6)   # per-row Γ
 
