@@ -14,10 +14,14 @@ def make(seed: int = 0, task: str = "Ant", num_envs: Optional[int] = None,
     from .envs import isaacgym_task_map
     from .utils.config import load_task_config
 
-    if task not in isaacgym_task_map:
-        raise ValueError(
-            f"unknown task {task!r}; available: {sorted(isaacgym_task_map)}")
     if cfg is None:
         cfg = load_task_config(task)
+    # variant configs (AntSAC, ShadowHandTest, HumanoidAMPHands, ...) select
+    # their env class via the config's `name:` field, like the reference's
+    # cfg.task.name lookup (reference train.py:103, cfg/task/ShadowHandTest.yaml:2)
+    cls_name = task if task in isaacgym_task_map else cfg.get("name", task)
+    if cls_name not in isaacgym_task_map:
+        raise ValueError(
+            f"unknown task {task!r}; available: {sorted(isaacgym_task_map)}")
     n = num_envs or cfg.get("env", {}).get("numEnvs", 4096)
-    return isaacgym_task_map[task](cfg=cfg, num_envs=n)
+    return isaacgym_task_map[cls_name](cfg=cfg, num_envs=n)

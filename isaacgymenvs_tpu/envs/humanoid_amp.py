@@ -137,8 +137,11 @@ class HumanoidAMP(VecTask):
 
         self.key_body_ids = np.array(
             [model.body_index(n) for n in KEY_BODY_NAMES])
+        # allowed-contact bodies are configurable: HumanoidAMPHands adds
+        # right_hand/left_hand (reference cfg/task/HumanoidAMPHands.yaml:22)
+        contact_bodies = env.get("contactBodies", list(CONTACT_BODIES))
         self.contact_body_ids = np.array(
-            [model.body_index(n) for n in CONTACT_BODIES])
+            [model.body_index(n) for n in contact_bodies])
 
         lo, hi = [], []
         for ji in range(model.njnt):

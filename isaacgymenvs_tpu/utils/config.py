@@ -21,14 +21,48 @@ def load_yaml(path: str) -> dict:
         return yaml.safe_load(f) or {}
 
 
+def _deep_merge(base: dict, over: dict) -> dict:
+    """Recursive dict merge: `over` wins (Hydra defaults-list semantics)."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _load_with_defaults(group: str, name: str) -> dict:
+    """Load `<group>/<name>.yaml`, composing a Hydra-style `defaults:` list.
+
+    Mirrors the reference's variant configs (e.g. cfg/task/AntSAC.yaml,
+    cfg/train/ShadowHandOpenAIPPO.yaml) which inherit a base config via
+    `defaults: [Base, _self_]`.
+    """
+    path = os.path.join(_CFG_ROOT, group, f"{name}.yaml")
+    if not os.path.exists(path):
+        return {}
+    cfg = load_yaml(path)
+    bases = cfg.pop("defaults", None)
+    if not bases:
+        return cfg
+    merged: dict = {}
+    for b in bases:
+        if b == "_self_":
+            merged = _deep_merge(merged, cfg)
+        else:
+            merged = _deep_merge(merged, _load_with_defaults(group, str(b)))
+    if "_self_" not in bases:
+        merged = _deep_merge(merged, cfg)
+    return merged
+
+
 def load_task_config(task: str) -> dict:
-    path = os.path.join(_CFG_ROOT, "task", f"{task}.yaml")
-    return load_yaml(path) if os.path.exists(path) else {}
+    return _load_with_defaults("task", task)
 
 
 def load_train_config(name: str) -> dict:
-    path = os.path.join(_CFG_ROOT, "train", f"{name}.yaml")
-    return load_yaml(path) if os.path.exists(path) else {}
+    return _load_with_defaults("train", name)
 
 
 def apply_overrides(cfg: dict, overrides) -> dict:

@@ -340,3 +340,32 @@ def test_trifinger_constructs():
     g = np.asarray(state.aux["goal_pose"])
     np.testing.assert_allclose(np.linalg.norm(g[:, 3:7], axis=-1), 1.0,
                                rtol=1e-5)
+
+
+def test_variant_configs_compose():
+    """Hydra-style `defaults:` variant configs select env class via `name:`
+    (reference cfg/task/{AntSAC,HumanoidSAC,HumanoidAMPHands,ShadowHandTest}
+    .yaml, train/{HumanoidAMPPPOLowGP,ShadowHandOpenAIPPO,...}.yaml)."""
+    from isaacgymenvs_tpu.utils.config import (load_task_config,
+                                               load_train_config)
+    c = load_task_config("ShadowHandTest")
+    assert c["name"] == "ShadowHand" and "defaults" not in c
+    assert c["env"]["observationType"] == "openai"
+    assert c["env"]["numEnvs"] == 256 and c["task"]["randomize"] is True
+    c = load_task_config("HumanoidAMPHands")
+    assert "right_hand" in c["env"]["contactBodies"]
+    assert c["env"]["motion_file"] == "amp_humanoid_cartwheel.npy"
+    c = load_train_config("HumanoidAMPPPOLowGP")
+    assert c["params"]["config"]["disc_grad_penalty"] == 0.2
+    assert c["params"]["algo"]["name"] == "amp_continuous"
+    c = load_train_config("ShadowHandOpenAIPPO")
+    assert c["params"]["network"]["mlp"]["units"] == [400, 400, 200, 100]
+    assert "rnn" not in c["params"]["network"]
+    c = load_train_config("HumanoidSAC")
+    assert c["params"]["algo"]["name"] == "sac"
+
+    env = isaacgymenvs_tpu.make(task="AntSAC", num_envs=4)
+    assert type(env).__name__ == "Ant" and env.num_envs == 4
+    env = isaacgymenvs_tpu.make(task="HumanoidAMPHands", num_envs=2)
+    assert type(env).__name__ == "HumanoidAMP"
+    assert len(env.contact_body_ids) == 4

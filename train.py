@@ -56,6 +56,11 @@ def main():
     task_cfg = apply_overrides(task_cfg, [f"{k}={v}" for k, v in
                                           task_overrides.items()])
     train_cfg = load_train_config(train_name)
+    if not train_cfg and task_cfg.get("name") and train_name == f"{task}PPO":
+        # task variants (HumanoidAMPHands, ShadowHandTest, ...) fall back to
+        # their base task's train config via the config's `name:` field
+        train_name = f"{task_cfg['name']}PPO"
+        train_cfg = load_train_config(train_name)
     train_overrides = [f"{k[6:]}={v}" for k, v in cli.items()
                        if k.startswith("train.")]
     train_cfg = apply_overrides(train_cfg, train_overrides)
