@@ -369,3 +369,24 @@ def test_variant_configs_compose():
     env = isaacgymenvs_tpu.make(task="HumanoidAMPHands", num_envs=2)
     assert type(env).__name__ == "HumanoidAMP"
     assert len(env.contact_body_ids) == 4
+
+
+def test_trajectory_viewer(tmp_path):
+    """Offline re-renderer (utils/viewer.py) — the headless analogue of the
+    reference viewer (vec_task.py:408-440): trajectory.npz → PNG strip."""
+    import os
+    env = isaacgymenvs_tpu.make(task="Cartpole", num_envs=1)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    qs = []
+    for _ in range(6):
+        state, t = step(state, jnp.zeros((1, 1)))
+        qs.append(np.asarray(state.art.q[0]))
+    p = tmp_path / "trajectory.npz"
+    np.savez(p, q=np.stack(qs),
+             body_names=np.asarray(env.model.body_names))
+    from isaacgymenvs_tpu.utils.viewer import render_trajectory
+    out = render_trajectory(str(p), "Cartpole",
+                            out=str(tmp_path / "t.png"),
+                            keyframes=2, stride=1)
+    assert os.path.getsize(out) > 1000
