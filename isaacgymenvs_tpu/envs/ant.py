@@ -49,6 +49,7 @@ class Ant(VecTask):
             dt=sim_cfg.get("dt", 1.0 / 60.0),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         self.model = load_mjcf(asset_root or _ASSET)
         self.num_acts = self.model.nu

@@ -64,6 +64,7 @@ class Anymal(VecTask):
             dt=sim_cfg.get("dt", 0.02),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         dt_ctl = self.sim.dt * self.control_freq_inv
         self.max_episode_length = int(

@@ -85,6 +85,7 @@ class AnymalTerrain(VecTask):
             dt=sim_dt * self.decimation,
             substeps=self.decimation * sim_cfg.get("substeps", 1),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         self.dt_ctl = self.sim.dt
         self.max_episode_length_s = learn.get("episodeLength_s", 20.0)

@@ -37,6 +37,7 @@ class Cartpole(VecTask):
             dt=sim_cfg.get("dt", 1.0 / 60.0),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         asset = asset_root or _ASSET
         self.model = load_urdf(asset, fix_base=True)

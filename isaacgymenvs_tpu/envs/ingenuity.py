@@ -64,6 +64,7 @@ class Ingenuity(VecTask):
             dt=sim_cfg.get("dt", 1.0 / 100.0),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -3.721))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         self.dt = self.sim.dt
         self.model = load_mjcf(_ingenuity_xml())

@@ -82,6 +82,7 @@ class Quadcopter(VecTask):
             dt=sim_cfg.get("dt", 1.0 / 100.0),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         self.dt = self.sim.dt
         model = load_mjcf(_quadcopter_xml())

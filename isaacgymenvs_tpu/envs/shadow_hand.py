@@ -118,6 +118,7 @@ class ShadowHand(VecTask):
             dt=sim_cfg.get("dt", 1.0 / 60.0),
             substeps=sim_cfg.get("substeps", 2),
             gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            solver_iterations=sim_cfg.get("num_solver_iterations", 16),
         )
         self.dt = self.sim.dt
 

@@ -233,3 +233,24 @@ def test_batched_vmap_step():
     assert not jnp.isnan(state.q).any()
     # different controls → different trajectories
     assert float(jnp.abs(state.q[0] - state.q[-1]).max()) > 1e-3
+
+
+def test_ant_settles_at_config_solver_iterations():
+    """The shipped Ant config runs 12 APGD iterations
+    (cfg/task/Ant.yaml sim.num_solver_iterations) — pin the settle
+    quality there so solver/config tuning can't silently regress it."""
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+    cfg = load_task_config("Ant")
+    env = isaacgymenvs_tpu.make(task="Ant", num_envs=1, cfg=cfg)
+    assert env.sim.solver_iterations == 12
+    model, sim = env.model, env.sim
+    params = model.default_phys_params()
+    state = T.ArtState(q=env.init_q, qd=jnp.zeros(model.nv))
+    step = jax.jit(lambda s: physics_step(model, sim, params, s,
+                                          ctrl=jnp.zeros(model.nu)))
+    for _ in range(240):
+        state, info = step(state)
+    assert not jnp.isnan(state.q).any()
+    assert float(jnp.abs(state.qd).max()) < 0.05
+    assert 0.5 < float(state.q[2]) < 0.6
