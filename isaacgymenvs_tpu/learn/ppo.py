@@ -233,7 +233,7 @@ class PPO:
     def init(self, key=None) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         k_env, k_net, key = jax.random.split(key, 3)
-        env_state, obs = self.env.reset(k_env)
+        env_state, obs = jax.jit(self.env.reset)(k_env)  # one compile, not 1000s of tunneled dispatches
         n = self.env.num_envs
         rnn_carry = first = None
         if self.rnn:
@@ -427,7 +427,14 @@ class PPO:
                 params, cv_params = params_all
             else:
                 params = params_all
-            o = (obs_rms.normalize(mb["obs"]) if cfg.normalize_input
+            # Normalize with the ROLLOUT-time stats (ts.obs_rms), not the
+            # batch-updated ones: stored logp/mu were computed under the
+            # old stats, so using updated stats here makes the ratio != 1
+            # at the first minibatch and inflates measured KL with
+            # normalization drift — which the adaptive-KL schedule then
+            # wrongly throttles LR for (epoch-0 KL was 0.70 vs the 0.008
+            # threshold). The updated stats take effect next epoch.
+            o = (ts.obs_rms.normalize(mb["obs"]) if cfg.normalize_input
                  else mb["obs"])
             if rnn:
                 # mb arrays are (mb_seqs, seq, ...): run the net time-major
@@ -443,7 +450,7 @@ class PPO:
             else:
                 mu, log_sig, v_n = self.net.apply(params, o)
             if cv:
-                s = (state_rms.normalize(mb["states"])
+                s = (ts.state_rms.normalize(mb["states"])
                      if cfg.normalize_input else mb["states"])
                 v_n = self.cv_net.apply(cv_params, s)[..., 0]
             logp = _gauss_logp(mu, log_sig, mb["action"])

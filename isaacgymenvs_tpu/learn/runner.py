@@ -22,9 +22,14 @@ from .ppo import PPO, PPOConfig, TrainState
 
 
 class MetricsWriter:
-    """TensorBoard if torch is importable, always JSONL alongside."""
+    """TensorBoard if torch is importable, always JSONL alongside.
+    Host-0 only in multi-host runs (reference rank-0 gating,
+    `train.py:84-97`, `common_agent.py:140`)."""
 
-    def __init__(self, logdir):
+    def __init__(self, logdir, enabled: bool = True):
+        self.enabled = enabled
+        if not enabled:
+            return
         os.makedirs(logdir, exist_ok=True)
         self.jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
         self.tb = None
@@ -35,6 +40,8 @@ class MetricsWriter:
             pass
 
     def write(self, step: int, scalars: dict):
+        if not self.enabled:
+            return
         rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
         self.jsonl.write(json.dumps(rec) + "\n")
         self.jsonl.flush()
@@ -93,7 +100,8 @@ class Runner:
         self.cfg = cfg
         self.env = env
         self.logdir = logdir
-        self.writer = MetricsWriter(logdir)
+        self.host0 = jax.process_index() == 0
+        self.writer = MetricsWriter(logdir, enabled=self.host0)
         self.save_freq = train_params.get("params", {}).get(
             "config", {}).get("save_frequency", 50)
         self.save_best_after = train_params.get("params", {}).get(
@@ -103,6 +111,14 @@ class Runner:
         ts = self.agent.init()
         if checkpoint:
             ts, _ = load_checkpoint(checkpoint)
+        # multi-chip: shard the env axis over all local devices (no-op on
+        # one); `python train.py task=Ant` then trains on every chip —
+        # reference parity with the first-class torchrun multi-GPU path
+        # (reference train.py:74-82, README.md:170-177)
+        from ..parallel.mesh import auto_shard
+        ts, mesh = auto_shard(ts, self.env.num_envs)
+        if mesh is not None and self.host0:
+            print(f"env axis sharded over {mesh.devices.size} devices")
         best = -np.inf
         steps_per_epoch = getattr(
             self.cfg, "horizon_length",
@@ -111,16 +127,24 @@ class Runner:
         nn_dir = os.path.join(self.logdir, "nn")
         t_start = time.time()
         ep_r_acc = ep_n_acc = ep_l_acc = 0.0
+        ep_rew = 0.0
         for e in range(int(ts.epoch), self.cfg.max_epochs):
             t0 = time.time()
             ts, m = self.agent.epoch_fn(ts)
-            jax.block_until_ready(ts.epoch)
+            # ONE device->host transfer for all scalars: per-scalar float()
+            # calls are each a device sync (round 1 lost ~1s/epoch to this
+            # over the tunneled TPU — compute was 0.16s/epoch)
+            m = jax.device_get(m)
             dt_epoch = time.time() - t0
             fps = steps_per_epoch / dt_epoch
             ep_r_acc += float(m["episode_reward_sum"])
             ep_l_acc += float(m["episode_length_sum"])
             ep_n_acc += float(m["episode_count"])
-            ep_rew = ep_r_acc / max(ep_n_acc, 1)
+            # running episode-reward estimate; carries the last window's
+            # value through print-epoch accumulator resets so best-ckpt
+            # gating (below) isn't starved right after each print
+            if ep_n_acc > 0:
+                ep_rew = ep_r_acc / ep_n_acc
             scalars = {f"train/{k}": v for k, v in m.items()
                        if not k.startswith("episode_")}
             scalars.update({
@@ -131,20 +155,23 @@ class Runner:
             self.writer.write(e, scalars)
             if e % 10 == 0 or e == self.cfg.max_epochs - 1:
                 kl = float(m.get("kl", 0.0))
-                print(f"epoch {e:5d} | ep_rew {ep_rew:10.2f} | "
-                      f"fps {fps:9.0f} | kl {kl:.4f}", flush=True)
+                if self.host0:
+                    print(f"epoch {e:5d} | ep_rew {ep_rew:10.2f} | "
+                          f"fps {fps:9.0f} | kl {kl:.4f}", flush=True)
                 if ep_n_acc > 0:
                     ep_r_acc = ep_l_acc = ep_n_acc = 0.0
-            if self.save_freq and e and e % self.save_freq == 0:
+            if self.host0 and self.save_freq and e \
+                    and e % self.save_freq == 0:
                 save_checkpoint(os.path.join(nn_dir, "last.ckpt"), ts,
                                 {"epoch": e, "reward": ep_rew})
-            if e >= self.save_best_after and ep_rew > best and ep_n_acc > 0:
+            if self.host0 and e >= self.save_best_after and ep_rew > best:
                 best = ep_rew
                 save_checkpoint(os.path.join(nn_dir, "best.ckpt"), ts,
                                 {"epoch": e, "reward": ep_rew})
-        save_checkpoint(os.path.join(nn_dir, "final.ckpt"), ts,
-                        {"epoch": self.cfg.max_epochs})
-        print(f"train done in {time.time()-t_start:.1f}s")
+        if self.host0:
+            save_checkpoint(os.path.join(nn_dir, "final.ckpt"), ts,
+                            {"epoch": self.cfg.max_epochs})
+            print(f"train done in {time.time()-t_start:.1f}s")
         return ts
 
     def play(self, checkpoint: Optional[str] = None, games: int = 8,
@@ -160,7 +187,7 @@ class Runner:
             ts, _ = load_checkpoint(checkpoint)
         env = self.env
         key = jax.random.PRNGKey(1234)
-        env_state, obs = env.reset(key)
+        env_state, obs = jax.jit(env.reset)(key)
         step = jax.jit(env.step)
         total_r = np.zeros(env.num_envs)
         finished_r, finished = [], 0

@@ -166,7 +166,7 @@ class SAC:
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         k_env, k_a, k_q1, k_q2, key = jax.random.split(key, 5)
-        env_state, obs = self.env.reset(k_env)
+        env_state, obs = jax.jit(self.env.reset)(k_env)  # one compile, not 1000s of tunneled dispatches
         n = self.env.num_envs
         actor_params = self.actor.init(k_a, obs[:1])
         x0 = jnp.concatenate([obs[:1], jnp.zeros((1, self.na))], -1)

@@ -7,6 +7,13 @@ multi-chip — ONE logical sim whose env axis is sharded over the mesh with
 inserts psum/all-gather collectives over ICI. Multi-host: call
 `jax.distributed.initialize()` (train.py multi_gpu flag) and the same code
 spans hosts (DCN between slices).
+
+The product path (`learn/runner.py`) calls `auto_shard(train_state,
+num_envs)` after agent init: on one device it is a no-op; on N devices the
+TrainState's env-axis leaves (env state, obs, rollout buffers) are laid
+out over the mesh and the params/optimizer/normalizers replicated, so
+`python train.py task=Ant` uses every local chip (reference parity:
+torchrun multi-GPU is a first-class CLI path, reference train.py:74-82).
 """
 
 from __future__ import annotations
@@ -33,11 +40,26 @@ def shard_batched(tree, mesh: Mesh, batch_size: int, axis: str = ENV_AXIS):
     repl = NamedSharding(mesh, P())
 
     def place(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == batch_size:
+        if (hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] == batch_size):
             return jax.device_put(x, env_sharding)
         return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def auto_shard(tree, batch_size: int, n_devices: Optional[int] = None):
+    """Product-path entry: shard over all local devices when there are
+    several, no-op on one. batch_size must divide the device count."""
+    n = n_devices or jax.device_count()
+    if n <= 1:
+        return tree, None
+    if batch_size % n:
+        raise ValueError(
+            f"num_envs={batch_size} not divisible by device count {n}; "
+            f"pass num_envs as a multiple of {n}")
+    mesh = make_mesh(n)
+    return shard_batched(tree, mesh, batch_size), mesh
 
 
 def pmean_if_distributed(x, axis: str = ENV_AXIS):

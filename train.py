@@ -43,6 +43,9 @@ def main():
         jax.distributed.initialize()
 
     import jax
+    # NOTE: do NOT enable jax_compilation_cache_dir here — with the
+    # tunneled axon TPU platform, deserializing a cached executable hangs
+    # the client (observed: runs wedge forever on the cache READ path).
     # deterministic seeding incl. process index (reference utils/utils.py:43)
     rank = jax.process_index()
     seed = seed + rank
