@@ -65,7 +65,8 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
     aliases = {}
     actor_slices = {}
     ten_adr, ten_jnt, ten_coef, ten_range, ten_names = [0], [], [], [], []
-    nb = nj = nq = nv = 0
+    ten_kp_all, ten_kd_all, geom_rest_all = [], [], []
+    nb = nj = nq = nv = ng_cnt = nt_cnt = 0
     for entry in actors:
         prefix, m = entry[0], entry[1]
         root_pos = np.asarray(entry[2] if len(entry) > 2 else np.zeros(3),
@@ -140,12 +141,20 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
             ten_adr.append(len(ten_jnt))
             ten_range.append(np.asarray(m.ten_range[t], np.float32))
             ten_names.append(f"{prefix}/{m.ten_names[t]}")
-        actor_slices[prefix] = dict(body=(nb, nb + m.nbody),
-                                    q=(nq, nq + m.nq), v=(nv, nv + m.nv))
+        actor_slices[prefix] = dict(
+            body=(nb, nb + m.nbody),
+            q=(nq, nq + m.nq), v=(nv, nv + m.nv),
+            geom=(ng_cnt, ng_cnt + m.ngeom),
+            ten=(nt_cnt, nt_cnt + m.ntendon))
+        ten_kp_all.append(m.ten_kp_arr())
+        ten_kd_all.append(m.ten_kd_arr())
+        geom_rest_all.append(m.geom_restitution_arr())
         nb += m.nbody
         nj += m.njnt
         nq += m.nq
         nv += m.nv
+        ng_cnt += m.ngeom
+        nt_cnt += m.ntendon
 
     def cat(key, dtype=None, width=None):
         arrs = out[key]
@@ -204,6 +213,12 @@ def compose_models(actors, name="scene") -> T.ArticulationModel:
         ten_range=(np.stack(ten_range).astype(np.float32) if ten_range
                    else np.zeros((0, 2), np.float32)),
         ten_names=tuple(ten_names),
+        ten_kp=(np.concatenate(ten_kp_all) if ten_kp_all
+                else np.zeros(0, np.float32)),
+        ten_kd=(np.concatenate(ten_kd_all) if ten_kd_all
+                else np.zeros(0, np.float32)),
+        geom_restitution_=(np.concatenate(geom_rest_all) if geom_rest_all
+                           else np.zeros(0, np.float32)),
     )
     # stash per-actor index ranges for env code (not part of the pytree)
     object.__setattr__(model, "actor_slices", actor_slices)

@@ -142,6 +142,15 @@ class ArticulationModel:
     # None = all zero (models built before screw support)
     jnt_pitch: Any = None
 
+    # tendon limit springs (PhysX tendon limit_stiffness/damping the
+    # reference sets per-asset, `tasks/shadow_hand.py:219+`); 0 = hard
+    # range constraint (solver limit rows). None = all zero.
+    ten_kp: Any = None                # (nt,)
+    ten_kd: Any = None                # (nt,)
+    # per-geom restitution (PhysX rigid_shape_properties.restitution);
+    # None = all zero (perfectly inelastic, the PhysX default)
+    geom_restitution_: Any = None     # (ng,)
+
     @property
     def ntendon(self) -> int:
         return len(self.ten_range)
@@ -150,6 +159,36 @@ class ArticulationModel:
         if self.jnt_pitch is None:
             return np.zeros(self.njnt, np.float32)
         return np.asarray(self.jnt_pitch, np.float32)
+
+    def ten_kp_arr(self) -> np.ndarray:
+        if self.ten_kp is None:
+            return np.zeros(self.ntendon, np.float32)
+        return np.asarray(self.ten_kp, np.float32)
+
+    def ten_kd_arr(self) -> np.ndarray:
+        if self.ten_kd is None:
+            return np.zeros(self.ntendon, np.float32)
+        return np.asarray(self.ten_kd, np.float32)
+
+    def geom_restitution_arr(self) -> np.ndarray:
+        if self.geom_restitution_ is None:
+            return np.zeros(self.ngeom, np.float32)
+        return np.asarray(self.geom_restitution_, np.float32)
+
+    def dof_limits(self) -> tuple:
+        """(lower (nv,), upper (nv,)) per-dof limits expanded from
+        jnt_range; unlimited / multi-dof joints get ∓1e9."""
+        lo = np.full(self.nv, -1e9, np.float32)
+        hi = np.full(self.nv, 1e9, np.float32)
+        for ji in range(self.njnt):
+            if not self.jnt_limited[ji]:
+                continue
+            if int(self.jnt_type[ji]) not in (HINGE, SLIDE, SCREW):
+                continue
+            va = int(self.jnt_vadr[ji])
+            lo[va] = self.jnt_range[ji][0]
+            hi[va] = self.jnt_range[ji][1]
+        return lo, hi
 
     @property
     def nbody(self) -> int:
@@ -195,6 +234,7 @@ class ArticulationModel:
 
     def default_phys_params(self) -> "PhysParams":
         import jax.numpy as jnp
+        lo, hi = self.dof_limits()
         return PhysParams(
             body_mass=jnp.asarray(self.body_mass),
             body_com=jnp.asarray(self.body_com),
@@ -207,6 +247,12 @@ class ArticulationModel:
             act_kp=jnp.asarray(self.act_kp),
             act_kd=jnp.asarray(self.act_kd),
             geom_friction=jnp.asarray(self.geom_friction[:, 0]),
+            dof_lower=jnp.asarray(lo),
+            dof_upper=jnp.asarray(hi),
+            ten_kp=jnp.asarray(self.ten_kp_arr()),
+            ten_kd=jnp.asarray(self.ten_kd_arr()),
+            geom_restitution=jnp.asarray(self.geom_restitution_arr()),
+            geom_scale=jnp.ones(self.ngeom, jnp.float32),
         )
 
 
@@ -227,6 +273,15 @@ class PhysParams:
     act_kp: Any
     act_kd: Any
     geom_friction: Any  # (ng,) sliding friction coefficient
+    # DR-extended surface (reference dof/tendon/shape props,
+    # `utils/dr_utils.py:35-68`); None on params built before round 2 —
+    # physics falls back to the static model values
+    dof_lower: Any = None        # (nv,) joint lower limits
+    dof_upper: Any = None        # (nv,)
+    ten_kp: Any = None           # (nt,) tendon limit stiffness
+    ten_kd: Any = None           # (nt,) tendon limit damping
+    geom_restitution: Any = None  # (ng,)
+    geom_scale: Any = None       # (ng,) collision-geometry scale factor
 
 
 @jax.tree_util.register_dataclass
@@ -245,6 +300,7 @@ class SimParams:
     contact_beta: float = 0.2            # Baumgarte stabilization factor
     power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
+    bounce_threshold: float = 0.2        # PhysX bounce_threshold_velocity
     # compliant (penalty) fallback — soft contacts, fully differentiable
     contact_stiffness: float = 1.0e4
     contact_damping_ratio: float = 1.0   # critical damping multiplier
@@ -260,7 +316,7 @@ class SimParams:
     def __hash__(self):
         return hash((self.dt, self.substeps, self.gravity, self.solver,
                      self.solver_iterations, self.contact_beta,
-                     self.power_iterations,
+                     self.power_iterations, self.bounce_threshold,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

@@ -21,14 +21,20 @@ reference because PhysX can't change them after prepare_sim; here
 everything is runtime-randomizable).
 
 Property name mapping (reference gymapi props → PhysParams fields):
-  rigid_body_properties.mass     → body_mass        (per body)
-  rigid_shape_properties.friction→ geom_friction    (per geom)
-  dof_properties.damping         → dof_damping      (per dof)
-  dof_properties.stiffness       → dof_stiffness
-  dof_properties.friction        → dof_frictionloss
-  dof_properties.armature        → dof_armature
-  sim_params.gravity             → gravity override (global, traced)
-`color` (visual) and `scale` (geometry rebuild) are accepted and ignored.
+  rigid_body_properties.mass        → body_mass        (per body)
+  rigid_shape_properties.friction   → geom_friction    (per geom)
+  rigid_shape_properties.restitution→ geom_restitution (per geom)
+  dof_properties.damping            → dof_damping      (per dof)
+  dof_properties.stiffness          → dof_stiffness
+  dof_properties.friction           → dof_frictionloss
+  dof_properties.armature           → dof_armature
+  dof_properties.lower/upper        → dof_lower/dof_upper (solver limit rows)
+  tendon_properties.stiffness/damping → ten_kp/ten_kd  (tendon-row CFM)
+  <actor>.scale                     → geom_scale       (runtime collision
+                                      scaling — PhysX needed setup_only)
+  sim_params.gravity                → gravity override (global, traced)
+All actor_params specs are scoped to the named actor's body/dof/geom/
+tendon index range (model.actor_slices). `color` (visual) is ignored.
 """
 
 from __future__ import annotations
@@ -44,10 +50,26 @@ from ..core import types as T
 _PROP_MAP = {
     ("rigid_body_properties", "mass"): "body_mass",
     ("rigid_shape_properties", "friction"): "geom_friction",
+    ("rigid_shape_properties", "restitution"): "geom_restitution",
     ("dof_properties", "damping"): "dof_damping",
     ("dof_properties", "stiffness"): "dof_stiffness",
     ("dof_properties", "friction"): "dof_frictionloss",
     ("dof_properties", "armature"): "dof_armature",
+    ("dof_properties", "lower"): "dof_lower",
+    ("dof_properties", "upper"): "dof_upper",
+    ("tendon_properties", "stiffness"): "ten_kp",
+    ("tendon_properties", "damping"): "ten_kd",
+}
+
+# which actor-slice axis each PhysParams field indexes (per-actor scoping
+# of the reference's actor_params trees — DR on `hand` must not touch
+# `object` bodies)
+_FIELD_AXIS = {
+    "body_mass": "body", "body_com": "body", "body_inertia": "body",
+    "dof_damping": "v", "dof_stiffness": "v", "dof_frictionloss": "v",
+    "dof_armature": "v", "dof_lower": "v", "dof_upper": "v",
+    "geom_friction": "geom", "geom_restitution": "geom",
+    "geom_scale": "geom", "ten_kp": "ten", "ten_kd": "ten",
 }
 
 
@@ -60,6 +82,9 @@ class AttrSpec:
     schedule: Optional[str] = None
     schedule_steps: int = 1
     setup_only: bool = False
+    mask: Any = None    # (item,) bool — actor scope; None = whole model
+    uniform_sample: bool = False  # one sample shared across the actor's
+    #                               items (actor `scale`: one factor)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,25 +128,65 @@ class DomainRandomizer:
                 schedule=g.get("schedule"),
                 schedule_steps=int(g.get("schedule_steps", 1)))
 
+        import numpy as np
+        slices = getattr(model, "actor_slices", None) if model else None
+
+        def scope_mask(field, actor):
+            """(item,) bool scoping the spec to one actor's indices."""
+            kind = _FIELD_AXIS[field]
+            if model is None or not slices:
+                return None  # single-actor model / noise-only DR: whole model
+            if actor not in slices or kind not in slices[actor]:
+                # composed scene but unknown actor (or legacy slices):
+                # apply to NOTHING rather than silently to everything
+                import warnings
+                warnings.warn(f"DR actor {actor!r} not in scene actors "
+                              f"{sorted(slices)} — spec ignored")
+                sizes = {"body": model.nbody, "v": model.nv,
+                         "geom": model.ngeom, "ten": model.ntendon}
+                return np.zeros(sizes[kind], bool)
+            sizes = {"body": model.nbody, "v": model.nv,
+                     "geom": model.ngeom, "ten": model.ntendon}
+            m = np.zeros(sizes[kind], bool)
+            a, b = slices[actor][kind]
+            m[a:b] = True
+            return m
+
         self.attr_specs = []
         for actor, props in params.get("actor_params", {}).items():
             for prop_name, attrs in props.items():
                 if prop_name == "color":
-                    continue
+                    continue  # visual only
                 if prop_name == "scale":
-                    continue  # geometry rebuild — documented gap
+                    # actor-level geometry scale: ONE factor per env per
+                    # actor, applied to the actor's collision geoms at
+                    # runtime (the reference can only do this setup_only,
+                    # docs/domain_randomization.md:96-100)
+                    self.attr_specs.append(AttrSpec(
+                        field="geom_scale",
+                        distribution=attrs.get("distribution", "uniform"),
+                        operation=attrs.get("operation", "scaling"),
+                        range=tuple(attrs.get("range", (1.0, 1.0))),
+                        schedule=attrs.get("schedule"),
+                        schedule_steps=int(attrs.get("schedule_steps", 1)),
+                        setup_only=attrs.get("setup_only", False),
+                        mask=scope_mask("geom_scale", actor),
+                        uniform_sample=True))
+                    continue
                 for attr, ap in attrs.items():
                     key = (prop_name, attr)
                     if key not in _PROP_MAP:
                         continue
+                    field = _PROP_MAP[key]
                     self.attr_specs.append(AttrSpec(
-                        field=_PROP_MAP[key],
+                        field=field,
                         distribution=ap.get("distribution", "uniform"),
                         operation=ap.get("operation", "scaling"),
                         range=tuple(ap.get("range", (1.0, 1.0))),
                         schedule=ap.get("schedule"),
                         schedule_steps=int(ap.get("schedule_steps", 1)),
-                        setup_only=ap.get("setup_only", False)))
+                        setup_only=ap.get("setup_only", False),
+                        mask=scope_mask(field, actor)))
         self.model = model
 
     # ------------------------------------------------------------- schedules
@@ -247,15 +312,22 @@ class DomainRandomizer:
             cur = getattr(out, spec.field)
             base_v = jnp.asarray(getattr(base, spec.field))
             sched = self._sched_scale(spec, step)
-            shape = cur.shape[1:]  # per-env shape
+            # one shared sample per env for actor-level scale; otherwise
+            # independent per item (dr_utils samples per property entry)
+            shape = () if spec.uniform_sample else cur.shape[1:]
 
             def one(k):
-                return self._sample(spec, jax.random.fold_in(k, 1000 + i),
-                                    shape, sched)
+                s = self._sample(spec, jax.random.fold_in(k, 1000 + i),
+                                 shape, sched)
+                return jnp.broadcast_to(s, cur.shape[1:])
 
             samples = jax.vmap(one)(keys)
             new_v = self._apply(spec, base_v[None], samples)
             m = mask.reshape((n,) + (1,) * (cur.ndim - 1))
+            if spec.mask is not None:
+                fm = jnp.asarray(spec.mask).reshape(
+                    (1, -1) + (1,) * (cur.ndim - 2))
+                new_v = jnp.where(fm, new_v, cur)
             out = dataclasses.replace(out, **{
                 spec.field: jnp.where(m, new_v, cur)})
         return out

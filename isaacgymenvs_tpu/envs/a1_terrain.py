@@ -24,9 +24,10 @@ from ..core import types as T
 from ..physics.collide import build_ground_contacts
 from ..physics.step import physics_step
 from .anymal_terrain import AnymalTerrain
+from ..utils.assets import asset_path
 
-_ASSET = ("/root/reference/assets/urdf/A1/urdf/"
-          "a1_unitree_modified_no_joint_dynamics.urdf")
+_ASSET = asset_path(
+    "urdf/A1/urdf/a1_unitree_modified_no_joint_dynamics.urdf")
 
 _A1_ANGLES = {
     "FR_hip_joint": -0.1, "FR_thigh_joint": 0.8, "FR_calf_joint": -1.5,

@@ -23,8 +23,9 @@ from ..core import types as T
 from ..core.modeling import add_actuators, hinge_joint_names
 from ..io.urdf import load_urdf
 from .shadow_hand import ShadowHand
+from ..utils.assets import asset_path
 
-_HAND_ASSET = "/root/reference/assets/urdf/kuka_allegro_description/allegro.urdf"
+_HAND_ASSET = asset_path("urdf/kuka_allegro_description/allegro.urdf")
 
 
 def _aa(axis, angle):

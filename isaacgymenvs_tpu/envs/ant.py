@@ -18,8 +18,9 @@ from ..core import maths as mx
 from ..core import types as T
 from ..io.mjcf import load_mjcf
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ASSET = "/root/reference/assets/mjcf/nv_ant.xml"
+_ASSET = asset_path("mjcf/nv_ant.xml")
 _FEET = ("front_left_foot", "front_right_foot", "left_back_foot",
          "right_back_foot")
 

@@ -24,8 +24,9 @@ from ..core import types as T
 from ..core.modeling import add_actuators, hinge_joint_names
 from ..io.urdf import load_urdf
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ASSET = "/root/reference/assets/urdf/anymal_c/urdf/anymal.urdf"
+_ASSET = asset_path("urdf/anymal_c/urdf/anymal.urdf")
 
 _DEFAULT_ANGLES = {
     "LF_HAA": 0.03, "LH_HAA": 0.03, "RF_HAA": -0.03, "RH_HAA": -0.03,

@@ -32,8 +32,9 @@ from ..io.urdf import load_urdf
 from ..physics.collide import build_ground_contacts
 from ..physics.step import physics_step
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ASSET = "/root/reference/assets/urdf/anymal_c/urdf/anymal_minimal.urdf"
+_ASSET = asset_path("urdf/anymal_c/urdf/anymal_minimal.urdf")
 
 _DEFAULT_ANGLES = {
     "LF_HAA": 0.03, "LH_HAA": 0.03, "RF_HAA": -0.03, "RH_HAA": -0.03,

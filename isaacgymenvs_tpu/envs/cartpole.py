@@ -15,8 +15,9 @@ import numpy as np
 from ..core import types as T
 from ..io.urdf import load_urdf
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ASSET = "/root/reference/assets/urdf/cartpole.urdf"
+_ASSET = asset_path("urdf/cartpole.urdf")
 
 
 class Cartpole(VecTask):

@@ -42,9 +42,10 @@ from ...physics.kinematics import forward_kinematics
 from ...physics.step import physics_step
 from ..base import VecTask
 from . import control as ctl
+from ...utils.assets import asset_path
 
-_FRANKA = ("/root/reference/assets/urdf/franka_description/robots/"
-           "franka_panda_gripper.urdf")
+_FRANKA = asset_path(
+    "urdf/franka_description/robots/franka_panda_gripper.urdf")
 
 # assets/factory/yaml/factory_asset_info_franka_table.yaml
 ASSET_INFO_FRANKA_TABLE = {

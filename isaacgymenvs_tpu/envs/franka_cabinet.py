@@ -34,9 +34,10 @@ from ..io.urdf import load_urdf
 from ..physics.collide import build_ground_contacts, build_pair_contacts
 from ..physics.step import physics_step
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_FRANKA = "/root/reference/assets/urdf/franka_description/robots/franka_panda.urdf"
-_CABINET = "/root/reference/assets/urdf/sektion_cabinet_model/urdf/sektion_cabinet_2.urdf"
+_FRANKA = asset_path("urdf/franka_description/robots/franka_panda.urdf")
+_CABINET = asset_path("urdf/sektion_cabinet_model/urdf/sektion_cabinet_2.urdf")
 
 _DEFAULT_DOF = np.array([1.157, -1.066, -0.155, -2.239, -1.841, 1.003,
                          0.469, 0.035, 0.035], np.float32)

@@ -37,9 +37,10 @@ from ..physics.dynamics import crba
 from ..physics.kinematics import forward_kinematics
 from ..physics.step import physics_step
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_FRANKA = ("/root/reference/assets/urdf/franka_description/robots/"
-           "franka_panda_gripper.urdf")
+_FRANKA = asset_path(
+    "urdf/franka_description/robots/franka_panda_gripper.urdf")
 
 _DEFAULT_DOF = np.array([0, 0.1963, 0, -2.6180, 0, 2.9416, 0.7854,
                          0.035, 0.035], np.float32)

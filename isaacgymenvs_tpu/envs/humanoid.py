@@ -22,8 +22,9 @@ from ..core import maths as mx
 from ..core import types as T
 from ..io.mjcf import load_mjcf
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ASSET = "/root/reference/assets/mjcf/nv_humanoid.xml"
+_ASSET = asset_path("mjcf/nv_humanoid.xml")
 _FEET = ("right_foot", "left_foot")  # sensor creation order humanoid.py:166-172
 
 

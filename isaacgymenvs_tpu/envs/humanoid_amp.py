@@ -32,9 +32,10 @@ from ..core import types as T
 from ..io.mjcf import load_mjcf
 from ..io.motion import MotionLib
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ASSET = "/root/reference/assets/mjcf/amp_humanoid.xml"
-_MOTION_DIR = "/root/reference/assets/amp/motions"
+_ASSET = asset_path("mjcf/amp_humanoid.xml")
+_MOTION_DIR = asset_path("amp/motions")
 
 KEY_BODY_NAMES = ("right_hand", "left_hand", "right_foot", "left_foot")
 CONTACT_BODIES = ("right_foot", "left_foot")

@@ -36,9 +36,10 @@ from ..io.urdf import load_urdf
 from ..physics.collide import build_ground_contacts, build_pair_contacts
 from ..physics.step import physics_step
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_HAND_ASSET = "/root/reference/assets/mjcf/open_ai_assets/hand/shadow_hand.xml"
-_BLOCK_ASSET = "/root/reference/assets/urdf/objects/cube_multicolor.urdf"
+_HAND_ASSET = asset_path("mjcf/open_ai_assets/hand/shadow_hand.xml")
+_BLOCK_ASSET = asset_path("urdf/objects/cube_multicolor.urdf")
 
 _FINGERTIPS = ("robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
                "robot0:lfdistal", "robot0:thdistal")
@@ -130,11 +131,11 @@ class ShadowHand(VecTask):
                      self.hand_start_z + self.object_offset[2])
         scene = compose_models([
             ("hand", hand, [0, 0, self.hand_start_z], hand_quat),
-            ("obj", obj, list(obj_start)),
+            ("object", obj, list(obj_start)),
         ])
         sl = scene.actor_slices
-        self.obj_q = sl["obj"]["q"][0]
-        self.obj_v = sl["obj"]["v"][0]
+        self.obj_q = sl["object"]["q"][0]
+        self.obj_v = sl["object"]["v"][0]
         self.nh_dof = sl["hand"]["v"][1]  # hand dof count (fixed base)
         self.model = scene
         self.obj_start = jnp.asarray(obj_start)
@@ -154,10 +155,10 @@ class ShadowHand(VecTask):
         self.actuated = self._actuated_indices(scene, names)
         self.fingertip_bodies = self._fingertip_indices(scene)
         self.obj_body = scene.body_index(
-            f"obj/{obj.body_names[0]}")
+            f"object/{obj.body_names[0]}")
 
         # hand↔object contacts + hand self-collision pairs (shared.xml)
-        bp_pairs = [(f"obj/{obj.body_names[0]}", f"hand/{bn}")
+        bp_pairs = [(f"object/{obj.body_names[0]}", f"hand/{bn}")
                     for bn in self._contact_bodies(hand)]
         self.pair_contacts = build_pair_contacts(scene, body_pairs=bp_pairs)
         self.obj_mass = float(np.asarray(obj.body_mass).sum())

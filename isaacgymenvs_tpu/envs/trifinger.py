@@ -32,10 +32,11 @@ from ..io.urdf import load_urdf
 from ..physics.collide import build_ground_contacts, build_pair_contacts
 from ..physics.step import physics_step
 from .base import VecTask
+from ..utils.assets import asset_path
 
-_ROBOT = ("/root/reference/assets/trifinger/robot_properties_fingers/"
-          "urdf/pro/trifingerpro.urdf")
-_CUBE = "/root/reference/assets/trifinger/objects/urdf/cube_multicolor_rrc.urdf"
+_ROBOT = asset_path(
+    "trifinger/robot_properties_fingers/urdf/pro/trifingerpro.urdf")
+_CUBE = asset_path("trifinger/objects/urdf/cube_multicolor_rrc.urdf")
 
 _TIPS = ("finger_tip_link_0", "finger_tip_link_120", "finger_tip_link_240")
 ARENA_RADIUS = 0.195
@@ -102,15 +103,15 @@ class Trifinger(VecTask):
         cube = load_urdf(_CUBE, fix_base=False)
         scene = compose_models([
             ("robot", robot, [0, 0, 0]),
-            ("cube", cube, [0, 0, CUBE_SIZE / 2]),
+            ("object", cube, [0, 0, CUBE_SIZE / 2]),
         ])
         sl = scene.actor_slices
         self.model = scene
-        self.cube_q = sl["cube"]["q"][0]
-        self.cube_v = sl["cube"]["v"][0]
+        self.cube_q = sl["object"]["q"][0]
+        self.cube_v = sl["object"]["v"][0]
         self.tip_bodies = np.array(
             [scene.body_index(f"robot/{t}") for t in _TIPS])
-        self.cube_body = scene.body_index(f"cube/{cube.body_names[0]}")
+        self.cube_body = scene.body_index(f"object/{cube.body_names[0]}")
 
         init_q = np.array(scene.init_qpos)
         init_q[:9] = _Q_DEFAULT
@@ -137,7 +138,7 @@ class Trifinger(VecTask):
         self.kp = jnp.asarray([10.0] * 9)
         self.kd = jnp.asarray([0.1, 0.3, 0.001] * 3)
 
-        bp = [(f"cube/{cube.body_names[0]}", f"robot/{bn}")
+        bp = [(f"object/{cube.body_names[0]}", f"robot/{bn}")
               for bn in robot.body_names
               if "lower" in bn or "middle" in bn or "tip" in bn]
         self.pair_contacts = build_pair_contacts(scene, body_pairs=bp)

@@ -299,60 +299,82 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
                           kin: T.Kinematics, ps: PairSet):
     """Runtime narrowphase for the static candidates: returns
     (depth (npc,), normal (npc,3) pointing B→A, cpt (npc,3),
-     body_a, body_b (npc,), mu (npc,)) — concatenated over the 3 kinds."""
+     body_a, body_b (npc,), mu (npc,), e (npc,) restitution) —
+    concatenated over the contact kinds. Radii/offsets are scaled at
+    runtime by params.geom_scale (per-env actor `scale` DR — the
+    reference could only do this setup_only, docs/domain_randomization.md:
+    96-100); restitution combines by average (PhysX default mode)."""
     dtype = kin.body_pos.dtype
-    depths, normals, cpts, bas, bbs, mus = [], [], [], [], [], []
+    depths, normals, cpts, bas, bbs, mus, es = [], [], [], [], [], [], []
     gf = params.geom_friction.astype(dtype)
+    gs = (params.geom_scale.astype(dtype) if params.geom_scale is not None
+          else jnp.ones_like(gf))
+    gr = (params.geom_restitution.astype(dtype)
+          if params.geom_restitution is not None else jnp.zeros_like(gf))
 
     def world_pt(body, off):
         return kin.body_pos[body] + quat_rotate(kin.body_quat[body], off)
 
     if len(ps.ss_body):
         ba, bb = ps.ss_body[:, 0], ps.ss_body[:, 1]
-        pa = world_pt(jnp.asarray(ba), jnp.asarray(ps.ss_off[:, 0], dtype))
-        pb = world_pt(jnp.asarray(bb), jnp.asarray(ps.ss_off[:, 1], dtype))
+        ga, gb = jnp.asarray(ps.ss_geom[:, 0]), jnp.asarray(ps.ss_geom[:, 1])
+        sa, sb_ = gs[ga], gs[gb]
+        pa = world_pt(jnp.asarray(ba),
+                      jnp.asarray(ps.ss_off[:, 0], dtype) * sa[:, None])
+        pb = world_pt(jnp.asarray(bb),
+                      jnp.asarray(ps.ss_off[:, 1], dtype) * sb_[:, None])
         d = pa - pb
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / jnp.maximum(dist, 1e-9)[..., None]
-        ra = jnp.asarray(ps.ss_rad[:, 0], dtype)
-        rb = jnp.asarray(ps.ss_rad[:, 1], dtype)
+        ra = jnp.asarray(ps.ss_rad[:, 0], dtype) * sa
+        rb = jnp.asarray(ps.ss_rad[:, 1], dtype) * sb_
         depth = ra + rb - dist
         cpt = pb + n * (rb - 0.5 * depth)[..., None]
         depths.append(depth); normals.append(n); cpts.append(cpt)
         bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
-        mus.append(0.5 * (gf[jnp.asarray(ps.ss_geom[:, 0])]
-                          + gf[jnp.asarray(ps.ss_geom[:, 1])]))
+        mus.append(0.5 * (gf[ga] + gf[gb]))
+        es.append(0.5 * (gr[ga] + gr[gb]))
 
     if len(ps.cc_body):
         ba, bb = ps.cc_body[:, 0], ps.cc_body[:, 1]
-        a0 = world_pt(jnp.asarray(ba), jnp.asarray(ps.cc_pts[:, 0], dtype))
-        a1 = world_pt(jnp.asarray(ba), jnp.asarray(ps.cc_pts[:, 1], dtype))
-        b0 = world_pt(jnp.asarray(bb), jnp.asarray(ps.cc_pts[:, 2], dtype))
-        b1 = world_pt(jnp.asarray(bb), jnp.asarray(ps.cc_pts[:, 3], dtype))
+        ga, gb = jnp.asarray(ps.cc_geom[:, 0]), jnp.asarray(ps.cc_geom[:, 1])
+        sa, sb_ = gs[ga], gs[gb]
+        a0 = world_pt(jnp.asarray(ba),
+                      jnp.asarray(ps.cc_pts[:, 0], dtype) * sa[:, None])
+        a1 = world_pt(jnp.asarray(ba),
+                      jnp.asarray(ps.cc_pts[:, 1], dtype) * sa[:, None])
+        b0 = world_pt(jnp.asarray(bb),
+                      jnp.asarray(ps.cc_pts[:, 2], dtype) * sb_[:, None])
+        b1 = world_pt(jnp.asarray(bb),
+                      jnp.asarray(ps.cc_pts[:, 3], dtype) * sb_[:, None])
         c1, c2 = _closest_seg_seg(a0, a1, b0, b1)
         d = c1 - c2
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / jnp.maximum(dist, 1e-9)[..., None]
-        ra = jnp.asarray(ps.cc_rad[:, 0], dtype)
-        rb = jnp.asarray(ps.cc_rad[:, 1], dtype)
+        ra = jnp.asarray(ps.cc_rad[:, 0], dtype) * sa
+        rb = jnp.asarray(ps.cc_rad[:, 1], dtype) * sb_
         depth = ra + rb - dist
         cpt = c2 + n * (rb - 0.5 * depth)[..., None]
         depths.append(depth); normals.append(n); cpts.append(cpt)
         bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
-        mus.append(0.5 * (gf[jnp.asarray(ps.cc_geom[:, 0])]
-                          + gf[jnp.asarray(ps.cc_geom[:, 1])]))
+        mus.append(0.5 * (gf[ga] + gf[gb]))
+        es.append(0.5 * (gr[ga] + gr[gb]))
 
     if len(ps.sb_body):
         from ..core.maths import quat_mul, quat_conj, quat_rotate_inv
         ba, bb = ps.sb_body[:, 0], ps.sb_body[:, 1]
-        pa = world_pt(jnp.asarray(ba), jnp.asarray(ps.sb_off, dtype))
+        ga, gb = jnp.asarray(ps.sb_geom[:, 0]), jnp.asarray(ps.sb_geom[:, 1])
+        sa, sb_ = gs[ga], gs[gb]
+        pa = world_pt(jnp.asarray(ba),
+                      jnp.asarray(ps.sb_off, dtype) * sa[:, None])
         # box world pose
         bq = quat_mul(kin.body_quat[jnp.asarray(bb)],
                       jnp.asarray(ps.sb_quat, dtype))
-        bp = world_pt(jnp.asarray(bb), jnp.asarray(ps.sb_pos, dtype))
+        bp = world_pt(jnp.asarray(bb),
+                      jnp.asarray(ps.sb_pos, dtype) * sb_[:, None])
         # sphere center in box frame
         local = quat_rotate_inv(bq, pa - bp)
-        half = jnp.asarray(ps.sb_half, dtype)
+        half = jnp.asarray(ps.sb_half, dtype) * sb_[:, None]
         clamped = jnp.clip(local, -half, half)
         outside = jnp.linalg.norm(local - clamped, axis=-1) > 1e-9
         # inside: push out along min-penetration axis
@@ -370,7 +392,7 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
             d_out / jnp.maximum(jnp.linalg.norm(d_out, axis=-1,
                                                 keepdims=True), 1e-9),
             n_in)
-        rad = jnp.asarray(ps.sb_rad, dtype)
+        rad = jnp.asarray(ps.sb_rad, dtype) * sa
         dist = jnp.where(outside, jnp.linalg.norm(d_out, axis=-1),
                          -jnp.min(pen_ax, axis=-1))
         depth = rad - dist
@@ -378,19 +400,23 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
         cpt_w = bp + quat_rotate(bq, surf)
         depths.append(depth); normals.append(n); cpts.append(cpt_w)
         bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
-        mus.append(0.5 * (gf[jnp.asarray(ps.sb_geom[:, 0])]
-                          + gf[jnp.asarray(ps.sb_geom[:, 1])]))
+        mus.append(0.5 * (gf[ga] + gf[gb]))
+        es.append(0.5 * (gr[ga] + gr[gb]))
 
     if ps.sc_body is not None and len(ps.sc_body):
         from ..core.maths import quat_mul, quat_rotate_inv
         ba, bb = ps.sc_body[:, 0], ps.sc_body[:, 1]
-        pa = world_pt(jnp.asarray(ba), jnp.asarray(ps.sc_off, dtype))
+        ga, gb = jnp.asarray(ps.sc_geom[:, 0]), jnp.asarray(ps.sc_geom[:, 1])
+        sa, sb_ = gs[ga], gs[gb]
+        pa = world_pt(jnp.asarray(ba),
+                      jnp.asarray(ps.sc_off, dtype) * sa[:, None])
         cq = quat_mul(kin.body_quat[jnp.asarray(bb)],
                       jnp.asarray(ps.sc_quat, dtype))
-        cp = world_pt(jnp.asarray(bb), jnp.asarray(ps.sc_pos, dtype))
+        cp = world_pt(jnp.asarray(bb),
+                      jnp.asarray(ps.sc_pos, dtype) * sb_[:, None])
         local = quat_rotate_inv(cq, pa - cp)          # sphere center, cyl frame
-        R = jnp.asarray(ps.sc_size[:, 0], dtype)
-        H = jnp.asarray(ps.sc_size[:, 1], dtype)
+        R = jnp.asarray(ps.sc_size[:, 0], dtype) * sb_
+        H = jnp.asarray(ps.sc_size[:, 1], dtype) * sb_
         rxy = jnp.linalg.norm(local[:, :2], axis=-1)
         dir_xy = local[:, :2] / jnp.maximum(rxy, 1e-9)[:, None]
         out_r = rxy > R
@@ -420,7 +446,7 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
             d_out / jnp.maximum(jnp.linalg.norm(d_out, axis=-1,
                                                 keepdims=True), 1e-9),
             n_in)
-        rad = jnp.asarray(ps.sc_rad, dtype)
+        rad = jnp.asarray(ps.sc_rad, dtype) * sa
         dist = jnp.where(outside, jnp.linalg.norm(d_out, axis=-1),
                          -jnp.minimum(pen_r, pen_z))
         depth = rad - dist
@@ -428,12 +454,13 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
         cpt_w = cp + quat_rotate(cq, surf)
         depths.append(depth); normals.append(n); cpts.append(cpt_w)
         bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
-        mus.append(0.5 * (gf[jnp.asarray(ps.sc_geom[:, 0])]
-                          + gf[jnp.asarray(ps.sc_geom[:, 1])]))
+        mus.append(0.5 * (gf[ga] + gf[gb]))
+        es.append(0.5 * (gr[ga] + gr[gb]))
 
     return (jnp.concatenate(depths), jnp.concatenate(normals),
             jnp.concatenate(cpts), jnp.concatenate(bas),
-            jnp.concatenate(bbs), jnp.concatenate(mus))
+            jnp.concatenate(bbs), jnp.concatenate(mus),
+            jnp.concatenate(es))
 
 
 @functools.lru_cache(maxsize=None)

@@ -77,8 +77,14 @@ def _limit_rows(model: T.ArticulationModel):
     Constraint per row: sign·(W·qpos_dof − bound) ≥ 0. Covers joint range
     limits (two rows per limited 1-dof joint) AND fixed-tendon ranges
     (ShadowHand distal couplings, `<tendon><fixed range>` — two rows per
-    tendon with the coupling coefficients as the W row)."""
+    tendon with the coupling coefficients as the W row).
+
+    Also returns per-row provenance for runtime (DR-randomized)
+    overrides: row_dof (dof index, -1 for tendon rows), row_upper
+    (1 where the row enforces the upper bound), row_ten (tendon index,
+    -1 for dof rows)."""
     rows_w, signs, bounds = [], [], []
+    row_dof, row_upper, row_ten = [], [], []
     nv = model.nv
     for ji in range(model.njnt):
         if not model.jnt_limited[ji]:
@@ -92,6 +98,9 @@ def _limit_rows(model: T.ArticulationModel):
         rows_w += [w, w]
         signs += [1.0, -1.0]
         bounds += [lo, hi]
+        row_dof += [va, va]
+        row_upper += [0, 1]
+        row_ten += [-1, -1]
     for t in range(model.ntendon):
         a0, a1 = int(model.ten_adr[t]), int(model.ten_adr[t + 1])
         w = np.zeros(nv, np.float32)
@@ -102,9 +111,14 @@ def _limit_rows(model: T.ArticulationModel):
         rows_w += [w, w]
         signs += [1.0, -1.0]
         bounds += [lo, hi]
+        row_dof += [-1, -1]
+        row_upper += [0, 1]
+        row_ten += [t, t]
     W = (np.stack(rows_w) if rows_w
          else np.zeros((0, nv), np.float32))
-    return (W, np.asarray(signs, np.float32), np.asarray(bounds, np.float32))
+    return (W, np.asarray(signs, np.float32), np.asarray(bounds, np.float32),
+            np.asarray(row_dof, np.int32), np.asarray(row_upper, np.int32),
+            np.asarray(row_ten, np.int32))
 
 
 def _qpos_dof(model, q):
@@ -133,7 +147,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     ncg = contacts.count
     ncp = pair_geom[0].shape[0] if pair_geom is not None else 0
     nc = ncg + ncp
-    lim_W, lim_sign, lim_bound = _limit_rows(model)
+    lim_W, lim_sign, lim_bound, lim_dof, lim_up, lim_ten = _limit_rows(model)
     nl = len(lim_sign)
     na = attractors.count if attractors is not None else 0
     if nc == 0 and nl == 0 and na == 0:
@@ -153,11 +167,16 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         return v * dof_mask[:, :, None]
 
     # ---- unified normal-row geometry: ground then pairs -------------------
-    ns, cpts, depths, mus, vjacs = [], [], [], [], []
+    ns, cpts, depths, mus, rests, vjacs = [], [], [], [], [], []
     if ncg:
         b_idx = jnp.asarray(contacts.body)
+        g_idx = jnp.asarray(contacts.geom)
         off = jnp.asarray(contacts.offset, dtype)
         rad = jnp.asarray(contacts.radius, dtype)
+        if params.geom_scale is not None:
+            gsc = params.geom_scale.astype(dtype)[g_idx]
+            off = off * gsc[:, None]
+            rad = rad * gsc
         p = kin.body_pos[b_idx] + quat_rotate(kin.body_quat[b_idx], off)
         if height_fn is None:
             ground_h = jnp.zeros((ncg,), dtype)
@@ -167,13 +186,18 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         depth_g = rad + ground_h - p[:, 2]
         cpt_g = p - n_g * rad[:, None]
         ns.append(n_g); cpts.append(cpt_g); depths.append(depth_g)
-        mus.append(params.geom_friction.astype(dtype)[
-            jnp.asarray(contacts.geom)])
+        mus.append(params.geom_friction.astype(dtype)[g_idx])
+        # vs the rigid plane (restitution 0): average combine (PhysX
+        # default) -> e/2
+        rests.append(0.5 * params.geom_restitution.astype(dtype)[g_idx]
+                     if params.geom_restitution is not None
+                     else jnp.zeros((ncg,), dtype))
         vjacs.append(point_vel_jac(cpt_g, Dmat[:, np.asarray(contacts.body)]))
     if ncp:
-        depth_p, n_p, cpt_p, ba, bb, mu_p = pair_geom
+        depth_p, n_p, cpt_p, ba, bb, mu_p, e_p = pair_geom
         ns.append(n_p); cpts.append(cpt_p); depths.append(depth_p)
         mus.append(mu_p)
+        rests.append(e_p)
         # relative point velocity: dofs above A minus dofs above B
         vjacs.append(point_vel_jac(cpt_p, Dmat[:, ba] - Dmat[:, bb]))
 
@@ -182,12 +206,14 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         cpt = jnp.concatenate(cpts)
         depth = jnp.concatenate(depths)
         mu = jnp.concatenate(mus)
+        rest = jnp.concatenate(rests)
         v_dof = jnp.concatenate(vjacs, axis=1)      # (nv, nc, 3)
     else:
         n = jnp.zeros((0, 3), dtype)
         cpt = jnp.zeros((0, 3), dtype)
         depth = jnp.zeros((0,), dtype)
         mu = jnp.zeros((0,), dtype)
+        rest = jnp.zeros((0,), dtype)
         v_dof = jnp.zeros((nv, 0, 3), dtype)
 
     # tangent frame (robust for arbitrary normals)
@@ -205,8 +231,12 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     active = depth > 0.0
     bias = -jnp.clip(sim.contact_beta * depth / h, 0.0,
                      sim.max_depenetration_velocity)
+    vn_pre = Jn @ qd_free
+    # restitution: target normal velocity -e·v_n for impacts faster than
+    # the bounce threshold (PhysX bounce_threshold_velocity)
+    bounce = jnp.where(vn_pre < -sim.bounce_threshold, rest * vn_pre, 0.0)
     rows_J = [Jn, Jt1, Jt2]
-    rows_b = [Jn @ qd_free + jnp.where(active, bias, 0.0),
+    rows_b = [vn_pre + jnp.where(active, bias + bounce, 0.0),
               Jt1 @ qd_free, Jt2 @ qd_free]
 
     # ---- joint-limit + tendon-range rows -----------------------------------
@@ -216,6 +246,14 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         L = W @ qdof                                # linear position value
         sign = jnp.asarray(lim_sign)
         bound = jnp.asarray(lim_bound)
+        # DR-randomized dof limits override the static bounds
+        # (dof_properties.lower/upper, reference dr_utils.py:35-68)
+        if params.dof_lower is not None:
+            rdof = jnp.asarray(lim_dof)
+            dyn = jnp.where(jnp.asarray(lim_up) == 1,
+                            params.dof_upper[jnp.maximum(rdof, 0)],
+                            params.dof_lower[jnp.maximum(rdof, 0)])
+            bound = jnp.where(rdof >= 0, dyn.astype(dtype), bound)
         viol = sign * (L - bound)                   # ≤ 0 when violating
         Jl = sign[:, None] * W
         lim_active = viol < 0.0
@@ -249,14 +287,28 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # not fit HBM at hand-task row counts × thousands of envs.
     MinvJT = Minv @ J.T                                        # (nv,nr)
 
+    # tendon limit compliance: ten_kp/ten_kd (PhysX tendon
+    # limit_stiffness/damping the reference sets per asset and DR scales,
+    # cfg/task/ShadowHand.yaml tendon_properties) enter as per-row
+    # constraint-force-mixing regularization cfm = 1/(h²·kp + h·kd);
+    # kp=kd=0 keeps the row hard (exact round-1 behavior).
+    cfm = jnp.zeros((nr,), dtype)
+    if nl and model.ntendon and params.ten_kp is not None:
+        rten = jnp.asarray(lim_ten)
+        kp = params.ten_kp[jnp.maximum(rten, 0)].astype(dtype)
+        kd = params.ten_kd[jnp.maximum(rten, 0)].astype(dtype)
+        c = jnp.where((rten >= 0) & (kp + kd > 0),
+                      1.0 / jnp.maximum(h * h * kp + h * kd, 1e-12), 0.0)
+        cfm = cfm.at[3 * nc:3 * nc + nl].set(c)
+
     def Amv(x):
-        return J @ (MinvJT @ x)
+        return J @ (MinvJT @ x) + cfm * x
 
     # DIAGONAL preconditioning (Chrono-style): light objects with tiny
     # rotational inertia (5 cm cubes: I ≈ 5e-6) make cond(A) explode and
     # plain APGD stalls; Γ = γ̂ D⁻¹ equilibrates the rows. diag(A) comes
     # free from the factored operator.
-    dA = jnp.einsum("rv,vr->r", J, MinvJT)
+    dA = jnp.einsum("rv,vr->r", J, MinvJT) + cfm
     dinv = 1.0 / jnp.maximum(dA, 1e-9)
 
     # rows that can carry impulse THIS solve: active normals + their

@@ -83,7 +83,7 @@ def test_sphere_sphere_narrowphase():
     q = jnp.asarray(np.concatenate([
         [0, 0, 1.0, 1, 0, 0, 0], [0.15, 0, 1.0, 1, 0, 0, 0]]), jnp.float32)
     kin = forward_kinematics(scene, params, q, jnp.zeros(12))
-    depth, n, cpt, ba, bb, mu = pair_contact_geometry(scene, params, kin, ps)
+    depth, n, cpt, ba, bb, mu, rest = pair_contact_geometry(scene, params, kin, ps)
     np.testing.assert_allclose(float(depth[0]), 0.05, atol=1e-6)
     # normal points from B to A = -x
     np.testing.assert_allclose(np.asarray(n[0]), [-1, 0, 0], atol=1e-6)
