@@ -195,7 +195,8 @@ class BallBalance(VecTask):
                                 pair_contacts=self.pair_contacts,
                                 attractors=self.attractors)
 
-        return jax.vmap(one, in_axes=(0, 0, None))(state.art, tgt,
+        in_axes = (0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(one, in_axes=in_axes)(state.art, tgt,
                                                    state.params)
 
     def _sample_reset(self, state, keys):

@@ -229,7 +229,8 @@ class FrankaCabinet(VecTask):
                                 n_substeps=self.sim.substeps,
                                 pair_contacts=self.pair_contacts)
 
-        return jax.vmap(one, in_axes=(0, 0, None))(state.art, tgt,
+        in_axes = (0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(one, in_axes=in_axes)(state.art, tgt,
                                                    state.params)
 
     # ------------------------------------------------------------------- obs

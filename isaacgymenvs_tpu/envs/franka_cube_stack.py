@@ -260,7 +260,8 @@ class FrankaCubeStack(VecTask):
                                 n_substeps=self.sim.substeps,
                                 pair_contacts=self.pair_contacts)
 
-        return jax.vmap(one, in_axes=(0, 0, 0, None))(
+        in_axes = (0, 0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(one, in_axes=in_axes)(
             state.art, u_arm_cmd, grip_t, state.params)
 
     # ------------------------------------------------------------------- obs

@@ -134,7 +134,8 @@ class Ingenuity(VecTask):
                                 n_substeps=self.sim.substeps,
                                 force_fn=force_fn)
 
-        return jax.vmap(one, in_axes=(0, 0, 0, None))(
+        in_axes = (0, 0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(one, in_axes=in_axes)(
             state.art, thrust0, thrust1, state.params)
 
     def _observe(self, state, info):

@@ -151,7 +151,8 @@ class Quadcopter(VecTask):
                                 n_substeps=self.sim.substeps,
                                 force_fn=force_fn)
 
-        return jax.vmap(one, in_axes=(0, 0, 0, None))(
+        in_axes = (0, 0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(one, in_axes=in_axes)(
             state.art, tgt, thr, state.params)
 
     def _observe(self, state, info):

@@ -78,7 +78,10 @@ class Trifinger(VecTask):
         self.normalize_action = env.get("normalize_action", True)
         self.normalize_obs = env.get("normalize_obs", True)
         self.apply_safety_damping = env.get("apply_safety_damping", True)
-        self.asymmetric_obs = env.get("asymmetric_obs", False)
+        # reference default is asymmetric (Trifinger.yaml:20): 113-dim
+        # privileged states for the central-value critic
+        self.asymmetric_obs = env.get("asymmetric_obs", True)
+        self.num_states = 113 if self.asymmetric_obs else 0
         rt = env.get("reward_terms", {})
         self.w_move = rt.get("finger_move_penalty", {}).get("weight", -0.5)
         self.w_reach = rt.get("finger_reach_object_rate", {}).get(
@@ -241,7 +244,8 @@ class Trifinger(VecTask):
                                 pair_contacts=self.pair_contacts,
                                 tau_fn=tau_fn)
 
-        return jax.vmap(one, in_axes=(0, 0, None))(state.art, cmd,
+        in_axes = (0, 0, 0 if self._params_batched() else None)
+        return jax.vmap(one, in_axes=in_axes)(state.art, cmd,
                                                    state.params)
 
     # ------------------------------------------------------------------- obs
@@ -255,6 +259,38 @@ class Trifinger(VecTask):
         if self.normalize_obs:
             obs = mx.unscale_transform(obs, self.obs_low, self.obs_high)
         return obs, {}
+
+    def _states(self, state, info):
+        """113-dim privileged states (trifinger.py:334-352 state_spec +
+        compute_trifinger_observations_states `:1388-1421`):
+        [raw obs(41), object_u(6), fingertip_state(3x13=39),
+        joint_torques(9) (the spec's misleadingly-named "robot_a" slot is
+        filled with dof torques, `:770-772`), fingertip_wrench(3x6=18)].
+        Like the reference, states are NOT pre-normalized (only obs are;
+        `:776-783`) — the central-value net's running-stats normalizer
+        handles scaling."""
+        if not self.asymmetric_obs:
+            return None
+        q, qd = state.art.q, state.art.qd
+        raw_obs = jnp.concatenate([
+            q[:, :9], qd[:, :9], q[:, self.cube_q:self.cube_q + 7],
+            state.aux["goal_pose"], state.aux["actions"],
+        ], axis=-1)
+        object_u = qd[:, self.cube_v:self.cube_v + 6]
+        kin = info.kin
+        tb = self.tip_bodies
+        omega = kin.body_vel[:, tb, :3]
+        v_origin = kin.body_vel[:, tb, 3:] + jnp.cross(
+            omega, kin.body_pos[:, tb] - kin.ref[:, None, :])
+        ft_state = jnp.concatenate([
+            kin.body_pos[:, tb], kin.body_quat[:, tb], v_origin, omega,
+        ], axis=-1).reshape(self.num_envs, -1)          # (N, 39)
+        joint_torques = info.tau[:, :9]
+        wrench = jnp.concatenate([
+            info.body_contact_force[:, tb], info.body_contact_torque[:, tb],
+        ], axis=-1).reshape(self.num_envs, -1)          # (N, 18)
+        return jnp.concatenate([raw_obs, object_u, ft_state,
+                                joint_torques, wrench], axis=-1)
 
     # ---------------------------------------------------------------- reward
     def _reward_done(self, state, obs, actions, info):

@@ -390,3 +390,35 @@ def test_trajectory_viewer(tmp_path):
                             out=str(tmp_path / "t.png"),
                             keyframes=2, stride=1)
     assert os.path.getsize(out) > 1000
+
+
+def test_trifinger_asymmetric_states():
+    """113-dim privileged states (reference trifinger.py:334-352):
+    [obs 41 | object_u 6 | fingertip_state 39 | joint_torques 9 |
+    fingertip_wrench 18], defaults on (Trifinger.yaml asymmetric_obs)."""
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+    cfg = load_task_config("Trifinger")
+    assert cfg["env"]["asymmetric_obs"] is True
+    env = isaacgymenvs_tpu.make(task="Trifinger", num_envs=4, cfg=cfg)
+    assert env.num_states == 113
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state, ts = jax.jit(env.step)(state, jnp.zeros((4, 9)))
+    assert ts.states is not None and ts.states.shape == (4, 113)
+    s = np.asarray(ts.states)
+    assert np.isfinite(s).all()
+    # layout checks: raw obs prefix (q unnormalized, within joint limits)
+    q = np.asarray(state.art.q[:, :9])
+    np.testing.assert_allclose(s[:, :9], q, atol=1e-5)
+    # goal-pose quaternion inside the raw-obs block is unit-norm
+    goal_quat = s[:, 28:32]
+    np.testing.assert_allclose(np.linalg.norm(goal_quat, axis=-1), 1.0,
+                               atol=1e-4)
+    # fingertip quaternions (offsets 41+6+3 .. +7 per 13-wide finger block)
+    for f in range(3):
+        base = 41 + 6 + 13 * f
+        qn = np.linalg.norm(s[:, base + 3:base + 7], axis=-1)
+        np.testing.assert_allclose(qn, 1.0, atol=1e-4)
+    # joint torques bounded by the actuator saturation
+    tau = s[:, 41 + 6 + 39:41 + 6 + 39 + 9]
+    assert np.abs(tau).max() <= 0.36 + 1e-5
