@@ -85,8 +85,12 @@ class FactoryBase(VecTask):
         c = cfg or {}
         self.cfg_task = c
         env = c.get("env", {})
+        # FactoryBase values arrive either composed into the top level
+        # (defaults: [FactoryEnv*, _self_] -> cfg/task/FactoryBase.yaml)
+        # or under the legacy inlined `base:` block
         base = c.get("base", {})
-        base_env = base.get("env", {})
+        base_env = {**env, **base.get("env", {})}
+        base_sim = {**c.get("sim", {}), **base.get("sim", {})}
         self.asset_info = dict(ASSET_INFO_FRANKA_TABLE)
         self.table_height = base_env.get("table_height", 0.4)
         self.franka_depth = base_env.get("franka_depth", 0.5)
@@ -94,10 +98,10 @@ class FactoryBase(VecTask):
         self.table_friction = base_env.get("table_friction", 0.3)
 
         sim_cfg = c.get("sim", {})
-        add_damping = base.get("sim", {}).get("add_damping", True)
+        add_damping = base_sim.get("add_damping", True)
         self.sim = T.SimParams(
-            dt=base.get("sim", {}).get("dt", 1.0 / 60.0),
-            substeps=base.get("sim", {}).get("substeps", 2),
+            dt=base_sim.get("dt", 1.0 / 60.0),
+            substeps=base_sim.get("substeps", 2),
             gravity=(0.0, 0.0, 0.0) if sim_cfg.get("disable_gravity", False)
             else (0.0, 0.0, -9.81),
             max_angular_velocity=2 * np.pi if add_damping else 64.0,
@@ -106,8 +110,7 @@ class FactoryBase(VecTask):
             # converge inside the stiff franka constraint system (the
             # reference runs 16 PhysX TGS position iterations,
             # FactoryBase.yaml:physx.num_position_iterations)
-            solver_iterations=base.get("sim", {}).get(
-                "num_solver_iterations", 64),
+            solver_iterations=base_sim.get("num_solver_iterations", 64),
         )
         self.dt = self.sim.dt
         self.cfg_ctrl = ctl.parse_controller_spec(c.get("ctrl", {}))
