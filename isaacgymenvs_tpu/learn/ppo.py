@@ -454,7 +454,7 @@ class PPO:
                      if cfg.normalize_input else mb["states"])
                 v_n = self.cv_net.apply(cv_params, s)[..., 0]
             logp = _gauss_logp(mu, log_sig, mb["action"])
-            ratio = jnp.exp(logp - mb["logp"])
+            ratio = jnp.exp(logp - mb["logp"])  # vs ROLLOUT policy (PPO)
             surr1 = mb["adv"] * ratio
             surr2 = mb["adv"] * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
             a_loss = -jnp.mean(jnp.minimum(surr1, surr2))
@@ -480,27 +480,43 @@ class PPO:
             loss = (a_loss + 0.5 * cfg.critic_coef * c_loss
                     - cfg.entropy_coef * entropy
                     + cfg.bounds_loss_coef * b_loss)
+            # KL for the adaptive-LR schedule: measured against the
+            # policy AS OF THIS SAMPLE'S LAST VISIT, not the rollout
+            # policy — rl_games overwrites the dataset's mu/sigma with
+            # the current forward after every minibatch
+            # (train_epoch: dataset.update_mu_sigma(cmu, csigma)), so its
+            # scheduler sees per-cycle drift. Comparing to rollout
+            # mu/sigma instead accumulates KL over all mini-epochs and
+            # throttled our LR ~4x harder at the same kl_threshold.
             kl = jnp.mean(_gauss_kl(mb["mu"], mb["old_log_sig"], mu, log_sig))
             aux = dict(a_loss=a_loss, c_loss=c_loss, entropy=entropy,
-                       b_loss=b_loss, kl=kl)
+                       b_loss=b_loss, kl=kl, cur_mu=mu,
+                       cur_log_sig=jnp.broadcast_to(log_sig, mu.shape))
             return loss, aux
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         old_log_sig = ts.params["params"]["log_sigma"]
 
         def mb_update(carry, idx):
-            params, opt_state, lr, key = carry
+            params, opt_state, lr, key, mu_store, logsig_store = carry
             take = lambda x: x[idx]
             mb = dict(obs=take(flat["obs"]), action=take(flat["action"]),
-                      logp=take(flat["logp"]), mu=take(flat["mu"]),
+                      logp=take(flat["logp"]), mu=take(mu_store),
                       adv=take(flat_adv), old_v=take(old_values_n),
-                      target=take(targets_n), old_log_sig=old_log_sig)
+                      target=take(targets_n),
+                      old_log_sig=take(logsig_store))
             if cv:
                 mb["states"] = take(flat["states"])
             if rnn:
                 mb["first"] = take(flat["first"])
                 mb["carry"] = jax.tree_util.tree_map(take, seq_carry)
             (loss, aux), grads = grad_fn(params, mb)
+            # rl_games dataset.update_mu_sigma: remember this sample's
+            # pre-update forward so the next visit's KL is per-cycle
+            mu_store = mu_store.at[idx].set(
+                aux["cur_mu"].reshape(mu_store[idx].shape))
+            logsig_store = logsig_store.at[idx].set(
+                aux["cur_log_sig"].reshape(logsig_store[idx].shape))
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(
                 params, jax.tree_util.tree_map(lambda u: -lr * u, updates))
@@ -511,10 +527,9 @@ class PPO:
                                jnp.maximum(lr / 1.5, 1e-6), lr)
                 lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
                                jnp.minimum(lr * 1.5, 1e-2), lr)
-            return (params, opt_state, lr, key), (loss, aux["kl"],
-                                                  aux["a_loss"],
-                                                  aux["c_loss"],
-                                                  aux["entropy"])
+            return (params, opt_state, lr, key, mu_store, logsig_store), \
+                (loss, aux["kl"], aux["a_loss"], aux["c_loss"],
+                 aux["entropy"])
 
         def mini_epoch(carry, k):
             if rnn:  # sample whole sequences (rl_games seq_length)
@@ -529,12 +544,15 @@ class PPO:
 
         key, *ekeys = jax.random.split(key, cfg.mini_epochs + 1)
         params0 = (ts.params, ts.cv_params) if cv else ts.params
-        carry = (params0, ts.opt_state, ts.lr, key)
+        mu_store0 = flat["mu"]
+        logsig_store0 = jnp.broadcast_to(old_log_sig, flat["mu"].shape)
+        carry = (params0, ts.opt_state, ts.lr, key, mu_store0,
+                 logsig_store0)
         metrics_mb = []
         for ek in ekeys:  # static unroll over mini_epochs (small)
             carry, m = mini_epoch(carry, ek)
             metrics_mb.append(m)
-        params, opt_state, lr, key = carry
+        params, opt_state, lr, key = carry[:4]
         cv_params = None
         if cv:
             params, cv_params = params
