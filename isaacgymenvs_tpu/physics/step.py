@@ -100,7 +100,7 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
     impulse = sim.solver == "impulse"
 
     def substep(carry, _):
-        q, qd = carry
+        q, qd = carry[0], carry[1]
         kin = forward_kinematics(model, params, q, qd)
         body_ct = jnp.zeros((model.nbody, 3), q.dtype)
         ef_ref = None
@@ -159,12 +159,18 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
         qd_new = jnp.clip(qd_new, -_vmax_vec(model, sim),
                           _vmax_vec(model, sim))
         q_new = integrate_position(model, q, qd_new, h)
-        return (q_new, qd_new), (body_cf, body_ct, (qd_new - qd) / h, tau)
+        # carry the last substep's reporting products instead of stacking
+        # them for every substep (only the final values feed StepInfo;
+        # stacking burned HBM bandwidth for nothing)
+        return (q_new, qd_new, body_cf, body_ct, (qd_new - qd) / h, tau), None
 
-    (q, qd), (cfs, cts, qdds, taus) = jax.lax.scan(
-        substep, (state.q, state.qd), None, length=nsub)
+    zero3 = jnp.zeros((model.nbody, 3), state.q.dtype)
+    zerov = jnp.zeros((model.nv,), state.q.dtype)
+    (q, qd, cf, ct, qdd, tau), _ = jax.lax.scan(
+        substep, (state.q, state.qd, zero3, zero3, zerov, zerov), None,
+        length=nsub)
 
     kin = forward_kinematics(model, params, q, qd)
-    info = StepInfo(kin=kin, body_contact_force=cfs[-1],
-                    body_contact_torque=cts[-1], qdd=qdds[-1], tau=taus[-1])
+    info = StepInfo(kin=kin, body_contact_force=cf,
+                    body_contact_torque=ct, qdd=qdd, tau=tau)
     return T.ArtState(q=q, qd=qd), info
