@@ -53,9 +53,21 @@ class MetricsWriter:
 def save_checkpoint(path: str, ts: TrainState, meta: Optional[dict] = None):
     """Orbax-free checkpoint: the TrainState pytree + meta, pickled with
     numpy leaves (reference: rl_games .pth with model/optimizer/RMS stats,
-    `common_agent.py:160-183`)."""
+    `common_agent.py:160-183`).
+
+    Multi-host: sharded leaves that span processes are gathered with
+    process_allgather so host 0 writes a complete state (np.asarray on a
+    non-fully-addressable array raises)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host = jax.tree_util.tree_map(np.asarray, ts)
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    host = jax.tree_util.tree_map(to_host, ts)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump({"train_state": host, "meta": meta or {}}, f)
