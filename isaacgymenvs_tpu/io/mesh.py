@@ -9,10 +9,47 @@ are approximated by their bounding box computed from the mesh vertices
 
 from __future__ import annotations
 
+import ctypes
 import os
 import struct
+import subprocess
 
 import numpy as np
+
+_NATIVE_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_fastmesh = None
+_fastmesh_tried = False
+
+
+def _load_fastmesh():
+    """ctypes-load the native mesh scanner (native/fastmesh.c), building
+    it on first use when a C toolchain is present. Returns None (Python
+    fallback) when unavailable — behavior is identical either way."""
+    global _fastmesh, _fastmesh_tried
+    if _fastmesh_tried:
+        return _fastmesh
+    _fastmesh_tried = True
+    so = os.path.join(_NATIVE_DIR, "libfastmesh.so")
+    if not os.path.exists(so) and os.path.exists(
+            os.path.join(_NATIVE_DIR, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=60)
+        except Exception:
+            return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.fm_mesh_aabb.restype = ctypes.c_int
+        lib.fm_mesh_aabb.argtypes = [
+            ctypes.c_char_p, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+        _fastmesh = lib
+    except OSError:
+        _fastmesh = None
+    return _fastmesh
 
 
 def load_mesh_vertices(path: str) -> np.ndarray:
@@ -54,8 +91,17 @@ def load_mesh_vertices(path: str) -> np.ndarray:
 
 def mesh_bounding_box(path: str, scale=1.0):
     """(center (3,), half_extents (3,)) of the scaled mesh's AABB in its
-    own frame."""
-    v = load_mesh_vertices(path) * np.asarray(scale, np.float64)
+    own frame. Uses the native scanner when available (uniform scale
+    only — the common case); falls back to the Python parsers."""
+    s = np.asarray(scale, np.float64)
+    lib = _load_fastmesh()
+    if lib is not None and s.ndim == 0:
+        center = (ctypes.c_double * 3)()
+        half = (ctypes.c_double * 3)()
+        rc = lib.fm_mesh_aabb(path.encode(), float(s), center, half)
+        if rc == 0:
+            return np.array(center[:]), np.array(half[:])
+    v = load_mesh_vertices(path) * s
     if len(v) == 0:
         return np.zeros(3), np.zeros(3)
     lo, hi = v.min(axis=0), v.max(axis=0)

@@ -174,3 +174,36 @@ def test_poselib_skeleton_from_mjcf():
     assert tree.num_joints >= 15
     assert tree.parent_indices[0] == -1
     assert "pelvis" in tree.node_names
+
+
+def test_fastmesh_native_matches_python():
+    import os
+    """Native mesh scanner (native/fastmesh.c) returns the same AABBs as
+    the Python parsers on every vendored collision mesh."""
+    import glob
+    import numpy as np
+    from isaacgymenvs_tpu.io import mesh as M
+    lib = M._load_fastmesh()
+    if lib is None:
+        import pytest
+        pytest.skip("no C toolchain / native lib")
+    root = os.path.join(os.path.dirname(__file__), "..", "assets")
+    files = (glob.glob(os.path.join(root, "**", "*.obj"), recursive=True)
+             + glob.glob(os.path.join(root, "**", "*.stl"), recursive=True))
+    assert len(files) > 50
+    checked = 0
+    for f in files[:120]:
+        v = M.load_mesh_vertices(f)
+        if len(v) == 0:
+            continue
+        lo, hi = v.min(0), v.max(0)
+        c_py, h_py = 0.5 * (lo + hi), 0.5 * (hi - lo)
+        import ctypes
+        c = (ctypes.c_double * 3)()
+        h = (ctypes.c_double * 3)()
+        rc = lib.fm_mesh_aabb(f.encode(), 1.0, c, h)
+        assert rc == 0, f
+        np.testing.assert_allclose(np.array(c[:]), c_py, atol=1e-9)
+        np.testing.assert_allclose(np.array(h[:]), h_py, atol=1e-9)
+        checked += 1
+    assert checked > 50
