@@ -28,9 +28,19 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         act = _ACT[self.activation]
-        for u in self.units:
-            x = nn.Dense(u, dtype=self.dtype)(x)
+        for i, u in enumerate(self.units):
+            # selective precision: the FIRST layer stays fp32 — bf16's
+            # 8-bit mantissa quantizes normalized observations (~0.03
+            # resolution on the ±5 clip range), which measurably degraded
+            # Ant training when the whole trunk ran bf16 (round-1 A/B:
+            # ep_rew -570 vs +74 at 20M steps). Deeper layers run in the
+            # requested dtype (bf16 on the MXU); params stay fp32 masters
+            # either way, heads are fp32.
+            layer_dtype = jnp.float32 if i == 0 else self.dtype
+            x = nn.Dense(u, dtype=layer_dtype)(x)
             x = act(x)
+            if i == 0 and self.dtype != jnp.float32:
+                x = x.astype(self.dtype)
         if self.out_dim is not None:
             x = nn.Dense(self.out_dim, dtype=jnp.float32)(x)
         return x
