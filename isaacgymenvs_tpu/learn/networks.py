@@ -135,6 +135,58 @@ class ActorCriticLSTM(nn.Module):
         return mu, log_sigma, value, carry
 
 
+class ValueLSTM(nn.Module):
+    """Recurrent central-value net (reference
+    ShadowHandPPOAsymmLSTM.yaml:87-103: central_value network with its
+    own `rnn: lstm` — states -> [MLP] -> LSTM -> [LayerNorm] -> [MLP] ->
+    value). Same carry/first-seq contract as ActorCriticLSTM.
+
+    __call__(states_seq (T,B,F), carry, first_seq (T,B)) ->
+        (value (T,B), new_carry)
+    """
+
+    units: Sequence[int] = (512,)
+    activation: str = "relu"
+    rnn_units: int = 1024
+    rnn_layers: int = 1
+    before_mlp: bool = True
+    layer_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def initial_carry(self, batch: int):
+        return tuple(
+            (jnp.zeros((batch, self.rnn_units)),
+             jnp.zeros((batch, self.rnn_units)))
+            for _ in range(self.rnn_layers))
+
+    @nn.compact
+    def __call__(self, states_seq, carry, first_seq):
+        x = states_seq
+        if not self.before_mlp:
+            x = MLP(self.units, self.activation, self.dtype)(x)
+        cells = [nn.OptimizedLSTMCell(self.rnn_units, name=f"lstm{i}")
+                 for i in range(self.rnn_layers)]
+        outs = []
+        carry = tuple(carry)
+        for t in range(states_seq.shape[0]):
+            keep = (1.0 - first_seq[t])[:, None]
+            x_t = x[t]
+            new_carry = []
+            for i, cell in enumerate(cells):
+                c, h = carry[i]
+                (c, h), x_t = cell((c * keep, h * keep), x_t)
+                new_carry.append((c, h))
+            carry = tuple(new_carry)
+            outs.append(x_t)
+        y = jnp.stack(outs)
+        if self.layer_norm:
+            y = nn.LayerNorm(name="rnn_ln")(y)
+        if self.before_mlp:
+            y = MLP(self.units, self.activation, self.dtype)(y)
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(y)[..., 0]
+        return value, carry
+
+
 class CentralValueNet(nn.Module):
     """Asymmetric critic over privileged states
     (`central_value_config`, ShadowHandPPOAsymm*)."""

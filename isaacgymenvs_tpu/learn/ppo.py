@@ -71,6 +71,13 @@ class PPOConfig:
     central_value: bool = False
     cv_units: tuple = (512, 256, 128)
     cv_activation: str = "elu"
+    # recurrent central value (central_value_config.network.rnn,
+    # ShadowHandPPOAsymmLSTM.yaml:87-103); only valid with a recurrent
+    # policy (the BPTT chunking is shared)
+    cv_rnn_units: int = 0
+    cv_rnn_layers: int = 1
+    cv_rnn_before_mlp: bool = True
+    cv_rnn_layer_norm: bool = True
     # rl_games `rnn: lstm` policy (ShadowHandPPOAsymmLSTM.yaml:33-38):
     # rnn_units=0 disables; BPTT over seq_len chunks with stored-state
     # initialization, hidden zeroed at episode starts.  The asymmetric
@@ -97,6 +104,13 @@ class PPOConfig:
                 central_value=True,
                 cv_units=tuple(cv_mlp.get("units", (512, 256, 128))),
                 cv_activation=cv_mlp.get("activation", "elu"))
+            cv_rnn = cvc.get("network", {}).get("rnn")
+            if cv_rnn and cv_rnn.get("name", "lstm") == "lstm":
+                cv_kwargs.update(
+                    cv_rnn_units=int(cv_rnn.get("units", 1024)),
+                    cv_rnn_layers=int(cv_rnn.get("layers", 1)),
+                    cv_rnn_before_mlp=bool(cv_rnn.get("before_mlp", True)),
+                    cv_rnn_layer_norm=bool(cv_rnn.get("layer_norm", True)))
         rnn = net.get("rnn")
         if rnn and rnn.get("name", "lstm") == "lstm":
             cv_kwargs.update(
@@ -158,6 +172,7 @@ class TrainState:
     # LSTM policy extras (rnn_units > 0)
     rnn_carry: Any = None   # tuple over layers of (c, h), each (N, units)
     first: Any = None       # (N,) 1.0 where obs is an episode start
+    cv_rnn_carry: Any = None  # recurrent central-value carry
 
 
 def _gauss_logp(mu, log_sigma, action):
@@ -201,12 +216,24 @@ class PPO:
                                    activation=cfg.activation,
                                    separate=cfg.separate, dtype=dtype)
         self.cv_net = None
+        self.cv_rnn = cfg.central_value and cfg.cv_rnn_units > 0
         if cfg.central_value:
-            from .networks import MLP
             assert getattr(env, "num_states", 0) > 0, \
                 "central_value requires env.num_states > 0"
-            self.cv_net = MLP(units=cfg.cv_units,
-                              activation=cfg.cv_activation, out_dim=1)
+            if self.cv_rnn:
+                assert self.rnn, ("recurrent central value requires a "
+                                  "recurrent policy (shared BPTT chunks)")
+                from .networks import ValueLSTM
+                self.cv_net = ValueLSTM(
+                    units=cfg.cv_units, activation=cfg.cv_activation,
+                    rnn_units=cfg.cv_rnn_units,
+                    rnn_layers=cfg.cv_rnn_layers,
+                    before_mlp=cfg.cv_rnn_before_mlp,
+                    layer_norm=cfg.cv_rnn_layer_norm)
+            else:
+                from .networks import MLP
+                self.cv_net = MLP(units=cfg.cv_units,
+                                  activation=cfg.cv_activation, out_dim=1)
         if cfg.truncate_grads:
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm),
                              optax.scale_by_adam(eps=1e-8))
@@ -243,11 +270,17 @@ class PPO:
                                    self.net.initial_carry(n), first[None])
         else:
             params = self.net.init(k_net, obs[:1])
-        cv_params = state_rms = states = None
+        cv_params = state_rms = states = cv_rnn_carry = None
         if self.cfg.central_value:
             ns = self.env.num_states
-            cv_params = self.cv_net.init(jax.random.fold_in(k_net, 1),
-                                         jnp.zeros((1, ns)))
+            if self.cv_rnn:
+                cv_rnn_carry = self.cv_net.initial_carry(n)
+                cv_params = self.cv_net.init(
+                    jax.random.fold_in(k_net, 1), jnp.zeros((1, n, ns)),
+                    self.cv_net.initial_carry(n), jnp.ones((1, n)))
+            else:
+                cv_params = self.cv_net.init(jax.random.fold_in(k_net, 1),
+                                             jnp.zeros((1, ns)))
             state_rms = RunningMeanStd.create((ns,))
             states = jnp.zeros((n, ns))
             opt_state = self.tx.init((params, cv_params))
@@ -263,7 +296,7 @@ class PPO:
             epoch=jnp.asarray(0, jnp.int32),
             cum_reward=jnp.zeros(n), cum_length=jnp.zeros(n, jnp.int32),
             cv_params=cv_params, state_rms=state_rms, states=states,
-            rnn_carry=rnn_carry, first=first,
+            rnn_carry=rnn_carry, first=first, cv_rnn_carry=cv_rnn_carry,
         )
 
     # ------------------------------------------------------------- epoch fn
@@ -276,15 +309,21 @@ class PPO:
         env = self.env
 
         cv = cfg.central_value
+        cv_rnn = self.cv_rnn
 
-        def value_of(obs, states):
+        def value_of(obs, states, cv_carry=None, first=None):
             """Normalized value estimate: central net on privileged states
-            (asymmetric critic) or the policy's value head."""
+            (asymmetric critic) or the policy's value head. Returns
+            (value_norm, new_cv_carry)."""
             if cv:
                 s = (ts.state_rms.normalize(states)
                      if cfg.normalize_input else states)
-                return self.cv_net.apply(ts.cv_params, s)[..., 0]
-            return self._forward(ts.params, ts.obs_rms, obs)[2]
+                if cv_rnn:
+                    v, cv_carry = self.cv_net.apply(
+                        ts.cv_params, s[None], cv_carry, first[None])
+                    return v[0], cv_carry
+                return self.cv_net.apply(ts.cv_params, s)[..., 0], None
+            return self._forward(ts.params, ts.obs_rms, obs)[2], None
 
         rnn = self.rnn
 
@@ -303,11 +342,15 @@ class PPO:
         # MLP policies) — chunk-start LSTM carries are kept for training
         def rollout_step(carry, _):
             (env_state, obs, states, key, cum_r, cum_l, rnn_carry,
-             first) = carry
+             first, cv_carry) = carry
             key, k_act = jax.random.split(key)
             mu, log_sig, v_pol, new_carry = forward_step(obs, rnn_carry,
                                                          first)
-            v_n = v_pol if (rnn and not cv) else value_of(obs, states)
+            new_cv_carry = cv_carry
+            if rnn and not cv:
+                v_n = v_pol
+            else:
+                v_n, new_cv_carry = value_of(obs, states, cv_carry, first)
             value = ts.value_rms.unnormalize(v_n) if cfg.normalize_value else v_n
             sigma = jnp.exp(log_sig)
             action = mu + sigma * jax.random.normal(k_act, mu.shape)
@@ -340,23 +383,25 @@ class PPO:
             stats = (ep_r_sum, ep_l_sum, ep_n, task_info)
             new_first = d.astype(jnp.float32) if rnn else first
             return (env_state, step_ts.obs, new_states, key, cum_r, cum_l,
-                    new_carry, new_first), (data, stats)
+                    new_carry, new_first, new_cv_carry), (data, stats)
 
         chunk = cfg.seq_len if rnn else cfg.horizon_length
         n_chunks = cfg.horizon_length // chunk
 
         def chunk_step(carry, _):
-            chunk_carry0 = carry[6]   # rnn carry at chunk start
+            # rnn carries (policy + cv) at chunk start, kept for BPTT
+            chunk_carry0 = (carry[6], carry[8])
             carry, out = jax.lax.scan(rollout_step, carry, None,
                                       length=chunk)
             return carry, (out, chunk_carry0)
 
         carry0 = (ts.env_state, ts.obs, ts.states, ts.key, ts.cum_reward,
-                  ts.cum_length, ts.rnn_carry, ts.first)
-        carry_end, ((batch, ep_stats), chunk_carries) = jax.lax.scan(
+                  ts.cum_length, ts.rnn_carry, ts.first, ts.cv_rnn_carry)
+        carry_end, ((batch, ep_stats), chunk_carries_all) = jax.lax.scan(
             chunk_step, carry0, None, length=n_chunks)
+        chunk_carries, cv_chunk_carries = chunk_carries_all
         (env_state, last_obs, last_states, key, cum_r, cum_l,
-         last_carry, last_first) = carry_end
+         last_carry, last_first, last_cv_carry) = carry_end
         # (n_chunks, chunk, ...) -> (T, ...)
         batch = jax.tree_util.tree_map(
             lambda x: x.reshape((cfg.horizon_length,) + x.shape[2:]), batch)
@@ -365,7 +410,8 @@ class PPO:
         # bootstrap value for the final obs
         _, _, v_pol_last, _ = forward_step(last_obs, last_carry, last_first)
         v_last_n = (v_pol_last if (rnn and not cv)
-                    else value_of(last_obs, last_states))
+                    else value_of(last_obs, last_states, last_cv_carry,
+                                  last_first)[0])
         v_last = (ts.value_rms.unnormalize(v_last_n) if cfg.normalize_value
                   else v_last_n)
 
@@ -402,6 +448,9 @@ class PPO:
             # chunk-start carries: (n_chunks, layers)(c/h)(N, u) -> (n_seqs,)
             seq_carry = jax.tree_util.tree_map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), chunk_carries)
+            cv_seq_carry = (jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), cv_chunk_carries)
+                if cv_rnn else None)
             flat_returns = to_seq(returns)
             flat_adv = to_seq(adv)
         else:
@@ -444,12 +493,21 @@ class PPO:
                     jnp.swapaxes(mb["first"], 0, 1))
                 mu = jnp.swapaxes(mu, 0, 1).reshape(-1, mu.shape[-1])
                 v_n = jnp.swapaxes(v_n, 0, 1).reshape(-1)
+                if cv and cv_rnn:
+                    # recurrent central value: BPTT over the same chunks
+                    # from its own stored chunk-start carry
+                    s_seq = (ts.state_rms.normalize(mb["states"])
+                             if cfg.normalize_input else mb["states"])
+                    v_cv, _ = self.cv_net.apply(
+                        cv_params, jnp.swapaxes(s_seq, 0, 1),
+                        mb["carry_cv"], jnp.swapaxes(mb["first"], 0, 1))
+                    v_n = jnp.swapaxes(v_cv, 0, 1).reshape(-1)
                 mb = {k: (v.reshape((-1,) + v.shape[2:])
-                          if k not in ("carry", "first") else v)
+                          if k not in ("carry", "carry_cv", "first") else v)
                       for k, v in mb.items()}
             else:
                 mu, log_sig, v_n = self.net.apply(params, o)
-            if cv:
+            if cv and not cv_rnn:
                 s = (ts.state_rms.normalize(mb["states"])
                      if cfg.normalize_input else mb["states"])
                 v_n = self.cv_net.apply(cv_params, s)[..., 0]
@@ -510,6 +568,9 @@ class PPO:
             if rnn:
                 mb["first"] = take(flat["first"])
                 mb["carry"] = jax.tree_util.tree_map(take, seq_carry)
+                if cv_rnn:
+                    mb["carry_cv"] = jax.tree_util.tree_map(
+                        take, cv_seq_carry)
             (loss, aux), grads = grad_fn(params, mb)
             # rl_games dataset.update_mu_sigma: remember this sample's
             # pre-update forward so the next visit's KL is per-cycle
@@ -580,7 +641,8 @@ class PPO:
             cv_params=cv_params, state_rms=state_rms,
             states=last_states if cv else None,
             rnn_carry=last_carry if rnn else None,
-            first=last_first if rnn else None)
+            first=last_first if rnn else None,
+            cv_rnn_carry=last_cv_carry if cv_rnn else None)
         return new_ts, metrics
 
     # ------------------------------------------------------------------ eval

@@ -163,3 +163,29 @@ def test_ppo_lstm_cartpole_learns():
         ts, ts.obs, ts.rnn_carry, ts.first)
     assert a.shape == (64, env.num_acts)
     assert not bool(jnp.isnan(a).any())
+
+
+def test_lstm_central_value():
+    """Recurrent central value (ShadowHandPPOAsymmLSTM
+    central_value_config.network.rnn): LSTM critic over privileged
+    states, BPTT on the policy's seq chunks."""
+    import numpy as np
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.learn.ppo import PPO, PPOConfig
+
+    env = isaacgymenvs_tpu.make(task="Cartpole", num_envs=16)
+    env.num_states = env.num_obs
+    env._states = lambda state, info: env._observe(state, info)[0]
+    cfg = PPOConfig(horizon_length=8, minibatch_size=32, mini_epochs=2,
+                    units=(32, 32), mixed_precision=False,
+                    central_value=True, cv_units=(16,),
+                    cv_rnn_units=32, rnn_units=32, seq_len=4,
+                    reward_shaper_scale=0.1)
+    ppo = PPO(env, cfg, seed=0)
+    assert ppo.cv_rnn and ppo.rnn
+    ts = ppo.init()
+    assert ts.cv_rnn_carry is not None
+    for e in range(12):
+        ts, m = ppo.epoch_fn(ts)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["c_loss"]))
