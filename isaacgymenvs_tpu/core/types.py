@@ -298,6 +298,17 @@ class SimParams:
     solver: str = "impulse"              # "impulse" | "compliant"
     solver_iterations: int = 16          # maps PhysX num_velocity_iterations
     contact_beta: float = 0.2            # Baumgarte stabilization factor
+    # MuJoCo-style contact compliance (solref defaults (0.02, 1.0) —
+    # part of the MJCF assets' semantics): contact rows get CFM
+    # regularization for a spring-damper with this time constant at the
+    # row's effective mass. 0.0 = hard contacts (round-1 behavior; those
+    # friction-locked the passive Ant at z=0.56 where MuJoCo's true
+    # equilibrium is z=0.38 — compliance reproduces it at z=0.36).
+    # dampratio 2.0 rather than MuJoCo's 1.0: the velocity-level
+    # discretization needs the extra damping to settle cleanly
+    # (ζ=1 leaves a 0.2 rad/s limit-cycle wobble, ζ=2 settles to 1e-4).
+    contact_timeconst: float = 0.02
+    contact_dampratio: float = 2.0
     power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
     bounce_threshold: float = 0.2        # PhysX bounce_threshold_velocity
@@ -317,6 +328,7 @@ class SimParams:
         return hash((self.dt, self.substeps, self.gravity, self.solver,
                      self.solver_iterations, self.contact_beta,
                      self.power_iterations, self.bounce_threshold,
+                     self.contact_timeconst, self.contact_dampratio,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

@@ -111,6 +111,12 @@ class FactoryBase(VecTask):
             # reference runs 16 PhysX TGS position iterations,
             # FactoryBase.yaml:physx.num_position_iterations)
             solver_iterations=base_sim.get("num_solver_iterations", 64),
+            # factory manipulation needs near-rigid contact (m16 nut
+            # pinched between fingerpads; the reference's SDF contacts
+            # run 16 TGS position iterations at contact_offset 0.005) —
+            # the MuJoCo-style compliance that helps locomotion makes
+            # the grasp slip, so keep the hard-contact path here
+            contact_timeconst=base_sim.get("contact_timeconst", 0.0),
         )
         self.dt = self.sim.dt
         self.cfg_ctrl = ctl.parse_controller_spec(c.get("ctrl", {}))

@@ -300,6 +300,17 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         c = jnp.where((rten >= 0) & (kp + kd > 0),
                       1.0 / jnp.maximum(h * h * kp + h * kd, 1e-12), 0.0)
         cfm = cfm.at[3 * nc:3 * nc + nl].set(c)
+    # MuJoCo-style contact compliance (sim.contact_timeconst = solref[0],
+    # contact_dampratio = solref[1]): a spring-damper with time constant
+    # τ and damping ratio ζ at the row's effective mass m_r = 1/dA has
+    # kp = m_r/τ², kd = 2ζ·m_r/τ ⇒
+    #   cfm = 1/(h²kp + h·kd) = dA / ((h/τ)² + 2ζ·(h/τ)),
+    # scale-free in the row mass, so one expression serves every contact.
+    dA_base = jnp.einsum("rv,vr->r", J, MinvJT)
+    if nc and sim.contact_timeconst > 0.0:
+        r_ = h / sim.contact_timeconst
+        denom = r_ * r_ + 2.0 * sim.contact_dampratio * r_
+        cfm = cfm.at[:3 * nc].add(dA_base[:3 * nc] / denom)
 
     def Amv(x):
         return J @ (MinvJT @ x) + cfm * x
@@ -308,7 +319,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # rotational inertia (5 cm cubes: I ≈ 5e-6) make cond(A) explode and
     # plain APGD stalls; Γ = γ̂ D⁻¹ equilibrates the rows. diag(A) comes
     # free from the factored operator.
-    dA = jnp.einsum("rv,vr->r", J, MinvJT) + cfm
+    dA = dA_base + cfm
     dinv = 1.0 / jnp.maximum(dA, 1e-9)
 
     # rows that can carry impulse THIS solve: active normals + their

@@ -253,4 +253,8 @@ def test_ant_settles_at_config_solver_iterations():
         state, info = step(state)
     assert not jnp.isnan(state.q).any()
     assert float(jnp.abs(state.qd).max()) < 0.05
-    assert 0.5 < float(state.q[2]) < 0.6
+    # passive equilibrium: the unactuated ant squats until joint limits
+    # carry it — MuJoCo settles at z=0.381 (20 s); round-1's hard
+    # contacts friction-locked the legs at the z=0.56 spawn height, the
+    # compliant contacts reproduce the true equilibrium
+    assert 0.30 < float(state.q[2]) < 0.45
