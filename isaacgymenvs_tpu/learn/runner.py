@@ -67,6 +67,13 @@ def save_checkpoint(path: str, ts: TrainState, meta: Optional[dict] = None):
                 multihost_utils.process_allgather(x, tiled=True))
         return np.asarray(x)
 
+    # AMP replay/demo rings are reconstructible sampling state, not model
+    # state — dropping them keeps checkpoints ~MBs instead of ~GBs
+    # (reference .pth checkpoints likewise exclude the replay buffer)
+    import dataclasses as _dc
+    for f in ("demo_buf", "demo_n", "replay_buf", "replay_n"):
+        if hasattr(ts, f) and getattr(ts, f) is not None:
+            ts = _dc.replace(ts, **{f: None})
     host = jax.tree_util.tree_map(to_host, ts)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -122,7 +129,15 @@ class Runner:
     def train(self, checkpoint: Optional[str] = None) -> TrainState:
         ts = self.agent.init()
         if checkpoint:
-            ts, _ = load_checkpoint(checkpoint)
+            loaded, _ = load_checkpoint(checkpoint)
+            # fields stripped at save time (AMP replay/demo rings) come
+            # back None — refill them from the fresh init state
+            import dataclasses as _dc
+            refill = {f.name: getattr(ts, f.name)
+                      for f in _dc.fields(loaded)
+                      if getattr(loaded, f.name) is None
+                      and getattr(ts, f.name) is not None}
+            ts = _dc.replace(loaded, **refill)
         # multi-chip: shard the env axis over all local devices (no-op on
         # one); `python train.py task=Ant` then trains on every chip —
         # reference parity with the first-class torchrun multi-GPU path
