@@ -309,6 +309,11 @@ class SimParams:
     # (ζ=1 leaves a 0.2 rad/s limit-cycle wobble, ζ=2 settles to 1e-4).
     contact_timeconst: float = 0.02
     contact_dampratio: float = 2.0
+    # compute the mass matrix (CRBA + inverse) once per CONTROL step and
+    # reuse it across substeps — PhysX likewise assembles articulation
+    # mass data once per step; M(q) drifts O(h·|qd|) within a step.
+    # Profiling: the CRBA/inverse fusions were ~20% of the Ant step.
+    freeze_mass_matrix: bool = True
     power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
     bounce_threshold: float = 0.2        # PhysX bounce_threshold_velocity
@@ -329,6 +334,7 @@ class SimParams:
                      self.solver_iterations, self.contact_beta,
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
+                     self.freeze_mass_matrix,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

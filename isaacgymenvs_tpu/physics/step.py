@@ -99,6 +99,21 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
 
     impulse = sim.solver == "impulse"
 
+    # frozen mass matrix (PhysX-style once-per-control-step assembly):
+    # static graph structure so the saving survives vmap (a lax.cond
+    # would lower to select under vmap and run both branches)
+    Minv_frozen = None
+    if impulse and sim.freeze_mass_matrix:
+        from .linalg import spd_inverse
+        kin0 = forward_kinematics(model, params, state.q, state.qd)
+        dimp0 = params.dof_damping.astype(state.q.dtype)
+        if ctrl is not None and model.nu:
+            _, d_kd0, d_kp0 = actuation_terms(model, params, ctrl,
+                                              state.q, state.qd)
+            dimp0 = dimp0 + d_kd0 + h * d_kp0
+        Minv_frozen = spd_inverse(crba(model, params, kin0)
+                                  + h * jnp.diag(dimp0))
+
     def substep(carry, _):
         q, qd = carry[0], carry[1]
         kin = forward_kinematics(model, params, q, qd)
@@ -136,13 +151,17 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
             tau = tau + extra_tau
         if tau_fn is not None:
             tau = tau + tau_fn(q, qd)
-        M = crba(model, params, kin)
         C = rnea_bias(model, params, kin, qd, gravity, f_ext)
-        # explicit SPD inverse via unrolled Cholesky: XLA:TPU's cholesky
-        # custom-call dominated the step (59% in the profiler); M⁻¹ turns
-        # the solve AND the solver's Delassus columns into MXU matmuls
-        from .linalg import spd_inverse
-        Minv = spd_inverse(M + h * jnp.diag(dimp))
+        if Minv_frozen is not None:
+            Minv = Minv_frozen
+        else:
+            M = crba(model, params, kin)
+            # explicit SPD inverse via unrolled Cholesky: XLA:TPU's
+            # cholesky custom-call dominated the step (59% in the round-1
+            # profiler); M⁻¹ turns the solve AND the solver's Delassus
+            # columns into MXU matmuls
+            from .linalg import spd_inverse
+            Minv = spd_inverse(M + h * jnp.diag(dimp))
         qdd = Minv @ (tau - C - dimp * qd)
         qd_free = qd + h * qdd
         if impulse:
