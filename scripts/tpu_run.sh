@@ -33,13 +33,22 @@ for try in $(seq 1 "$MAX_TRIES"); do
     sleep 5
   done
   if [ "$ok" = 1 ]; then
-    # first epoch seen — now just wait for completion (bounded)
+    # first epoch seen — wait for completion (bounded), and watch for
+    # mid-run wedges: if the metrics file stops advancing for STALL
+    # seconds, kill and keep the partial run
+    STALL=${STALL:-300}
     end=$((start + TOTAL))
     while kill -0 "$PID" 2>/dev/null && [ "$(date +%s)" -lt "$end" ]; do
-      sleep 5
+      sleep 10
+      mt=$(stat -c %Y "$METRICS" 2>/dev/null || echo 0)
+      now=$(date +%s)
+      if [ "$mt" -gt 0 ] && [ $((now - mt)) -ge "$STALL" ]; then
+        echo "tpu_run: metrics stalled ${STALL}s mid-run — killing $PID" >&2
+        break
+      fi
     done
     if kill -0 "$PID" 2>/dev/null; then
-      echo "tpu_run: total timeout — killing $PID" >&2
+      echo "tpu_run: stopping $PID (timeout or stall)" >&2
       kill "$PID" 2>/dev/null; sleep 3; kill -9 "$PID" 2>/dev/null
     fi
     wait "$PID" 2>/dev/null
