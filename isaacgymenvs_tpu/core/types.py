@@ -299,11 +299,14 @@ class SimParams:
     solver_iterations: int = 16          # maps PhysX num_velocity_iterations
     contact_beta: float = 0.2            # Baumgarte stabilization factor
     # MuJoCo-style contact compliance (solref defaults (0.02, 1.0) —
-    # part of the MJCF assets' semantics): contact rows get CFM
+    # part of the MJCF assets' semantics): contact NORMAL rows get CFM
     # regularization for a spring-damper with this time constant at the
-    # row's effective mass. 0.0 = hard contacts (round-1 behavior; those
-    # friction-locked the passive Ant at z=0.56 where MuJoCo's true
-    # equilibrium is z=0.38 — compliance reproduces it at z=0.36).
+    # row's effective mass; friction rows stay hard. 0.0 = fully hard
+    # (round-1 behavior). Measured tradeoffs (runs/ant_*):
+    #   * regularizing friction rows too reproduces MuJoCo's passive
+    #     slip-squat exactly (z=0.38) but makes stance feet creep and
+    #     drops Ant training from +3269 to +751 at epoch 900;
+    #   * normal-only compliance keeps soft landings without slip.
     # dampratio 2.0 rather than MuJoCo's 1.0: the velocity-level
     # discretization needs the extra damping to settle cleanly
     # (ζ=1 leaves a 0.2 rad/s limit-cycle wobble, ζ=2 settles to 1e-4).

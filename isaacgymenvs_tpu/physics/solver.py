@@ -310,7 +310,11 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     if nc and sim.contact_timeconst > 0.0:
         r_ = h / sim.contact_timeconst
         denom = r_ * r_ + 2.0 * sim.contact_dampratio * r_
-        cfm = cfm.at[:3 * nc].add(dA_base[:3 * nc] / denom)
+        # NORMAL rows only: regularizing the friction rows as well made
+        # stance feet creep (tangential compliance ≈ slip), which
+        # measurably degraded Ant gait training (+751 vs +3269 at epoch
+        # 900 in the soft-vs-hard A/B). Friction stays hard-projected.
+        cfm = cfm.at[:nc].add(dA_base[:nc] / denom)
 
     def Amv(x):
         return J @ (MinvJT @ x) + cfm * x

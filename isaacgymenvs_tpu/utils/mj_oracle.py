@@ -95,16 +95,17 @@ def _quat_mat(q):
     ])
 
 
-def mujoco_ant(num_envs: int = 256, cfg=None):
-    """Our Ant task with MuJoCo dynamics (CPU)."""
+def mujoco_backend(env, xml_path: str):
+    """Swap any single-MJCF task env's `_physics` for MuJoCo stepping.
+    The env keeps its own obs/reward/reset machinery; dynamics become
+    ground truth. Returns the same env instance, modified."""
     import jax
     import jax.numpy as jnp
-    from ..envs.ant import Ant, _ASSET
     from ..physics.step import StepInfo
 
     assert HAVE_MUJOCO, "mujoco not installed"
-    env = Ant(cfg=cfg, num_envs=num_envs)
-    batch = MjBatch(_ASSET, num_envs, env.sim.dt,
+    num_envs = env.num_envs
+    batch = MjBatch(xml_path, num_envs, env.sim.dt,
                     env.sim.substeps * env.control_freq_inv,
                     env.model.body_names)
     nb, nv, nq = env.model.nbody, env.model.nv, env.model.nq
@@ -134,3 +135,15 @@ def mujoco_ant(num_envs: int = 256, cfg=None):
 
     env._physics = mj_physics
     return env
+
+
+def mujoco_ant(num_envs: int = 256, cfg=None):
+    """Our Ant task with MuJoCo dynamics (CPU)."""
+    from ..envs.ant import Ant, _ASSET
+    return mujoco_backend(Ant(cfg=cfg, num_envs=num_envs), _ASSET)
+
+
+def mujoco_humanoid(num_envs: int = 256, cfg=None):
+    """Our Humanoid task with MuJoCo dynamics (CPU)."""
+    from ..envs.humanoid import Humanoid, _ASSET
+    return mujoco_backend(Humanoid(cfg=cfg, num_envs=num_envs), _ASSET)

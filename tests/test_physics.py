@@ -253,8 +253,9 @@ def test_ant_settles_at_config_solver_iterations():
         state, info = step(state)
     assert not jnp.isnan(state.q).any()
     assert float(jnp.abs(state.qd).max()) < 0.05
-    # passive equilibrium: the unactuated ant squats until joint limits
-    # carry it — MuJoCo settles at z=0.381 (20 s); round-1's hard
-    # contacts friction-locked the legs at the z=0.56 spawn height, the
-    # compliant contacts reproduce the true equilibrium
-    assert 0.30 < float(state.q[2]) < 0.45
+    # passive equilibrium: with compliant NORMALS + hard friction the
+    # unactuated ant stays friction-locked near the spawn height
+    # (MuJoCo's fully-compliant contacts let it slip-squat to z=0.38;
+    # regularizing our friction rows the same way reproduced that but
+    # cost gait training -- see SimParams.contact_timeconst docs)
+    assert 0.50 < float(state.q[2]) < 0.60
