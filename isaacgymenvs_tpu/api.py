@@ -24,4 +24,26 @@ def make(seed: int = 0, task: str = "Ant", num_envs: Optional[int] = None,
         raise ValueError(
             f"unknown task {task!r}; available: {sorted(isaacgym_task_map)}")
     n = num_envs or cfg.get("env", {}).get("numEnvs", 4096)
-    return isaacgym_task_map[cls_name](cfg=cfg, num_envs=n)
+    env = isaacgym_task_map[cls_name](cfg=cfg, num_envs=n)
+
+    # generic sim-parameter passthrough: any SimParams field named in the
+    # task config's sim: block overrides the env's construction-time
+    # value (the reference's __parse_sim_params consumes the whole physx
+    # block the same way, vec_task.py:442-490). Lets YAML/CLI reach
+    # solver knobs the envs don't explicitly plumb (contact_timeconst,
+    # power_iterations, ...).
+    import dataclasses as _dc
+    sim_cfg = cfg.get("sim", {}) or {}
+    # whitelist: advanced solver knobs only — dt/substeps/gravity/
+    # solver_iterations are consumed (and sometimes transformed, e.g.
+    # factory disable_gravity) by env constructors themselves
+    passthrough = ("contact_beta", "contact_timeconst",
+                   "contact_dampratio", "friction_timeconst",
+                   "power_iterations", "bounce_threshold",
+                   "max_depenetration_velocity", "freeze_mass_matrix",
+                   "max_angular_velocity", "max_linear_velocity",
+                   "friction_regularization")
+    overrides = {k: sim_cfg[k] for k in passthrough if k in sim_cfg}
+    if overrides:
+        env.sim = _dc.replace(env.sim, **overrides)
+    return env

@@ -312,6 +312,11 @@ class SimParams:
     # (ζ=1 leaves a 0.2 rad/s limit-cycle wobble, ζ=2 settles to 1e-4).
     contact_timeconst: float = 0.02
     contact_dampratio: float = 2.0
+    # optional friction-row compliance with its OWN (stiffer) time
+    # constant: micro-slip regularization for foot-rocking bipeds
+    # without the gross stance creep of equal-softness friction.
+    # 0.0 = hard friction (default).
+    friction_timeconst: float = 0.0
     # compute the mass matrix (CRBA + inverse) once per CONTROL step and
     # reuse it across substeps — PhysX likewise assembles articulation
     # mass data once per step; M(q) drifts O(h·|qd|) within a step.
@@ -337,7 +342,7 @@ class SimParams:
                      self.solver_iterations, self.contact_beta,
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
-                     self.freeze_mass_matrix,
+                     self.friction_timeconst, self.freeze_mass_matrix,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

@@ -313,8 +313,13 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         # NORMAL rows only: regularizing the friction rows as well made
         # stance feet creep (tangential compliance ≈ slip), which
         # measurably degraded Ant gait training (+751 vs +3269 at epoch
-        # 900 in the soft-vs-hard A/B). Friction stays hard-projected.
+        # 900 in the soft-vs-hard A/B). Friction stays hard-projected
+        # unless friction_timeconst opts into (stiffer) micro-compliance.
         cfm = cfm.at[:nc].add(dA_base[:nc] / denom)
+    if nc and sim.friction_timeconst > 0.0:
+        rf = h / sim.friction_timeconst
+        denf = rf * rf + 2.0 * sim.contact_dampratio * rf
+        cfm = cfm.at[nc:3 * nc].add(dA_base[nc:3 * nc] / denf)
 
     def Amv(x):
         return J @ (MinvJT @ x) + cfm * x

@@ -35,7 +35,16 @@ class MjBatch:
     def __init__(self, xml_path: str, num_envs: int, dt: float,
                  substeps: int, body_names, threads: int = 16):
         from concurrent.futures import ThreadPoolExecutor
-        m = mujoco.MjModel.from_xml_path(xml_path)
+        try:
+            m = mujoco.MjModel.from_xml_path(xml_path)
+        except ValueError:
+            # some reference MJCFs reference undefined visual materials
+            # (nv_humanoid's floor 'grid' — IsaacGym's importer ignored
+            # them); strip material attributes and retry
+            import re
+            xml = open(xml_path).read()
+            xml = re.sub(r'\smaterial="[^"]*"', "", xml)
+            m = mujoco.MjModel.from_xml_string(xml)
         m.opt.timestep = dt / substeps
         self.model = m
         self.substeps = substeps
