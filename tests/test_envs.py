@@ -422,3 +422,15 @@ def test_trifinger_asymmetric_states():
     # joint torques bounded by the actuator saturation
     tau = s[:, 41 + 6 + 39:41 + 6 + 39 + 9]
     assert np.abs(tau).max() <= 0.36 + 1e-5
+
+
+def test_sim_param_passthrough():
+    """make() forwards advanced solver knobs from the task sim: block
+    (reference __parse_sim_params consumes the whole physx block)."""
+    from isaacgymenvs_tpu.utils.config import load_task_config
+    c = load_task_config("Ant")
+    c.setdefault("sim", {})["friction_timeconst"] = 0.004
+    c["sim"]["power_iterations"] = 3
+    env = isaacgymenvs_tpu.make(task="Ant", num_envs=2, cfg=c)
+    assert env.sim.friction_timeconst == 0.004
+    assert env.sim.power_iterations == 3
