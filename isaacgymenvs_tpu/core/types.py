@@ -310,7 +310,12 @@ class SimParams:
     # dampratio 2.0 rather than MuJoCo's 1.0: the velocity-level
     # discretization needs the extra damping to settle cleanly
     # (ζ=1 leaves a 0.2 rad/s limit-cycle wobble, ζ=2 settles to 1e-4).
-    contact_timeconst: float = 0.02
+    # DEFAULT 0.0 (hard): softened normal rows reduce transient support
+    # (Anymal zero-action stance sinks 0.48→0.35 m) and every
+    # soft-contact Ant training run underperformed the hard-contact one
+    # (+825/+751/+1414 vs +3269 at comparable budgets) — compliance is
+    # an opt-in research knob, not the product default.
+    contact_timeconst: float = 0.0
     contact_dampratio: float = 2.0
     # optional friction-row compliance with its OWN (stiffer) time
     # constant: micro-slip regularization for foot-rocking bipeds
