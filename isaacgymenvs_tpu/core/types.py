@@ -323,10 +323,14 @@ class SimParams:
     # 0.0 = hard friction (default).
     friction_timeconst: float = 0.0
     # compute the mass matrix (CRBA + inverse) once per CONTROL step and
-    # reuse it across substeps — PhysX likewise assembles articulation
-    # mass data once per step; M(q) drifts O(h·|qd|) within a step.
-    # Profiling: the CRBA/inverse fusions were ~20% of the Ant step.
-    freeze_mass_matrix: bool = True
+    # reuse it across substeps (PhysX assembles articulation mass data
+    # once per step). DEFAULT OFF: despite the CRBA/inverse fusions
+    # showing ~20% in the op profile, the measured A/B says hoisting
+    # them REGRESSES Ant-4096 stepping 593K→512K steps/s — the
+    # out-of-loop computation serializes against the substep scan
+    # instead of fusing into it. Kept as a knob for future scheduling
+    # work.
+    freeze_mass_matrix: bool = False
     power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
     bounce_threshold: float = 0.2        # PhysX bounce_threshold_velocity
