@@ -331,6 +331,15 @@ class SimParams:
     # instead of fusing into it. Kept as a knob for future scheduling
     # work.
     freeze_mass_matrix: bool = False
+    # contact capping (PhysX max_gpu_contact_pairs analogue): when > 0,
+    # the impulse solver keeps only the K deepest contact candidates per
+    # env per substep. Static candidate enumeration makes hand/
+    # manipulation scenes carry hundreds of rows of which ~a dozen are
+    # ever active (ShadowHand: 266 candidates → 854 solver rows); the
+    # cap turns J assembly and every APGD matvec from O(candidates)
+    # into O(K). Identical solution whenever actives fit in K.
+    # 0 = solve all candidates (exact round-1 behavior).
+    max_contact_points: int = 0
     power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
     bounce_threshold: float = 0.2        # PhysX bounce_threshold_velocity
@@ -352,6 +361,7 @@ class SimParams:
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
                      self.friction_timeconst, self.freeze_mass_matrix,
+                     self.max_contact_points,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

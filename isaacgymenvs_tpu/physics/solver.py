@@ -167,7 +167,10 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         return v * dof_mask[:, :, None]
 
     # ---- unified normal-row geometry: ground then pairs -------------------
-    ns, cpts, depths, mus, rests, vjacs = [], [], [], [], [], []
+    # per-candidate arrays: n, cpt, depth, mu, rest, dof-mask column
+    # (Dmat[:,a] − Dmat[:,b]), body a, body b (−1 = static world/ground)
+    ns, cpts, depths, mus, rests, dcols, b_as, b_bs = \
+        [], [], [], [], [], [], [], []
     if ncg:
         b_idx = jnp.asarray(contacts.body)
         g_idx = jnp.asarray(contacts.geom)
@@ -192,14 +195,18 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         rests.append(0.5 * params.geom_restitution.astype(dtype)[g_idx]
                      if params.geom_restitution is not None
                      else jnp.zeros((ncg,), dtype))
-        vjacs.append(point_vel_jac(cpt_g, Dmat[:, np.asarray(contacts.body)]))
+        dcols.append(jnp.asarray(Dmat[:, np.asarray(contacts.body)]))
+        b_as.append(b_idx)
+        b_bs.append(jnp.full((ncg,), -1, jnp.int32))
     if ncp:
         depth_p, n_p, cpt_p, ba, bb, mu_p, e_p = pair_geom
         ns.append(n_p); cpts.append(cpt_p); depths.append(depth_p)
         mus.append(mu_p)
         rests.append(e_p)
         # relative point velocity: dofs above A minus dofs above B
-        vjacs.append(point_vel_jac(cpt_p, Dmat[:, ba] - Dmat[:, bb]))
+        dcols.append(Dmat[:, ba] - Dmat[:, bb])
+        b_as.append(jnp.asarray(ba, jnp.int32))
+        b_bs.append(jnp.asarray(bb, jnp.int32))
 
     if nc:
         n = jnp.concatenate(ns)
@@ -207,14 +214,39 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         depth = jnp.concatenate(depths)
         mu = jnp.concatenate(mus)
         rest = jnp.concatenate(rests)
-        v_dof = jnp.concatenate(vjacs, axis=1)      # (nv, nc, 3)
+        dcol = jnp.concatenate(dcols, axis=1)       # (nv, nc)
+        body_a = jnp.concatenate(b_as)
+        body_b = jnp.concatenate(b_bs)
     else:
         n = jnp.zeros((0, 3), dtype)
         cpt = jnp.zeros((0, 3), dtype)
         depth = jnp.zeros((0,), dtype)
         mu = jnp.zeros((0,), dtype)
         rest = jnp.zeros((0,), dtype)
-        v_dof = jnp.zeros((nv, 0, 3), dtype)
+        dcol = jnp.zeros((nv, 0), dtype)
+        body_a = jnp.zeros((0,), jnp.int32)
+        body_b = jnp.zeros((0,), jnp.int32)
+
+    # ---- contact capping (PhysX max_gpu_contact_pairs analogue) ----------
+    # Candidate sets are static-shaped (hand tasks: 200+ points of which
+    # ~a dozen ever touch); solving all of them makes J and every APGD
+    # matvec scale with the candidate count, not the active count. When
+    # sim.max_contact_points > 0, keep only the K deepest candidates per
+    # env (gathers are per-env under vmap): identical solution whenever
+    # all truly-active contacts fit in K, at K/nc of the row cost.
+    cap = int(getattr(sim, "max_contact_points", 0) or 0)
+    if nc and cap and cap < nc:
+        _, sel = jax.lax.top_k(depth, cap)
+        n = n[sel]
+        cpt = cpt[sel]
+        depth = depth[sel]
+        mu = mu[sel]
+        rest = rest[sel]
+        dcol = dcol[:, sel]
+        body_a = body_a[sel]
+        body_b = body_b[sel]
+        nc = cap
+    v_dof = point_vel_jac(cpt, dcol) if nc else jnp.zeros((nv, 0, 3), dtype)
 
     # tangent frame (robust for arbitrary normals)
     ex = jnp.zeros((nc, 3), dtype).at[:, 0].set(1.0)
@@ -401,25 +433,22 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # (`tasks/anymal.py:112`, `tasks/ant.py:174-178`)
     f_lin = (lam[:nc, None] * n + lam[nc:2 * nc, None] * t1
              + lam[2 * nc:3 * nc, None] * t2) / h
-    if ncg:
-        fg = f_lin[:ncg]
-        arm = cpt[:ncg] - kin.body_pos[b_idx]
-        body_cf = jax.ops.segment_sum(fg, b_idx, num_segments=nb)
-        body_ct = jax.ops.segment_sum(jnp.cross(arm, fg), b_idx,
+    if nc:
+        arm_a = cpt - kin.body_pos[body_a]
+        body_cf = jax.ops.segment_sum(f_lin, body_a, num_segments=nb)
+        body_ct = jax.ops.segment_sum(jnp.cross(arm_a, f_lin), body_a,
                                       num_segments=nb)
+        if ncp:  # static: pair candidates exist (ground-only → body_b ≡ −1)
+            has_b = (body_b >= 0)
+            bb_c = jnp.maximum(body_b, 0)
+            f_b = jnp.where(has_b[:, None], f_lin, 0.0)
+            arm_b = cpt - kin.body_pos[bb_c]
+            body_cf = body_cf - jax.ops.segment_sum(
+                f_b, bb_c, num_segments=nb)
+            body_ct = body_ct - jax.ops.segment_sum(
+                jnp.where(has_b[:, None], jnp.cross(arm_b, f_lin), 0.0),
+                bb_c, num_segments=nb)
     else:
         body_cf = jnp.zeros((nb, 3), dtype)
         body_ct = jnp.zeros((nb, 3), dtype)
-    if ncp:
-        fp = f_lin[ncg:]
-        ba_j, bb_j = jnp.asarray(ba), jnp.asarray(bb)
-        arm_a = cpt[ncg:] - kin.body_pos[ba_j]
-        arm_b = cpt[ncg:] - kin.body_pos[bb_j]
-        body_cf = body_cf + jax.ops.segment_sum(fp, ba_j, num_segments=nb) \
-            - jax.ops.segment_sum(fp, bb_j, num_segments=nb)
-        body_ct = body_ct \
-            + jax.ops.segment_sum(jnp.cross(arm_a, fp), ba_j,
-                                  num_segments=nb) \
-            - jax.ops.segment_sum(jnp.cross(arm_b, fp), bb_j,
-                                  num_segments=nb)
     return qd_new, body_cf, body_ct

@@ -253,9 +253,43 @@ def test_ant_settles_at_config_solver_iterations():
         state, info = step(state)
     assert not jnp.isnan(state.q).any()
     assert float(jnp.abs(state.qd).max()) < 0.05
-    # passive equilibrium: with compliant NORMALS + hard friction the
-    # unactuated ant stays friction-locked near the spawn height
-    # (MuJoCo's fully-compliant contacts let it slip-squat to z=0.38;
-    # regularizing our friction rows the same way reproduced that but
-    # cost gait training -- see SimParams.contact_timeconst docs)
-    assert 0.50 < float(state.q[2]) < 0.60
+    # passive equilibrium: the shipped Ant config runs MuJoCo-style
+    # full-row compliance (solref (0.02, zeta 2), Ant.yaml sim block) and
+    # the unactuated ant slip-squats to MuJoCo's true equilibrium
+    # (oracle z=0.38; hard contacts friction-locked it at spawn height
+    # z=0.56, which measurably cost gait training -- from-scratch A/B
+    # runs/ant_r2_hard ~6xx vs runs/ant_klcycle +3269)
+    assert 0.30 < float(state.q[2]) < 0.45
+
+
+def test_contact_cap_equivalence_shadow_hand():
+    """sim.max_contact_points keeps only the K deepest contact
+    candidates (PhysX max_gpu_contact_pairs analogue). With K=64 on
+    ShadowHand (266 candidates) all truly-active contacts fit in the
+    cap, so trajectories must track the uncapped solve; measured
+    divergence is ~4e-3 rad over 40 chaotic steps."""
+    import isaacgymenvs_tpu
+
+    def roll(cap):
+        from isaacgymenvs_tpu.utils.config import load_task_config
+        c = load_task_config("ShadowHand")
+        c.setdefault("sim", {})["max_contact_points"] = cap
+        env = isaacgymenvs_tpu.make(task="ShadowHand", num_envs=2, cfg=c)
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(3))
+        step = jax.jit(env.step)
+        key = jax.random.PRNGKey(7)
+        for _ in range(25):
+            key, k = jax.random.split(key)
+            a = jnp.clip(0.3 * jax.random.normal(k, (2, env.num_acts)), -1, 1)
+            state, ts = step(state, a)
+        return np.asarray(state.art.q)
+
+    q_full = roll(0)          # exact: solve all candidates
+    q_cap = roll(64)
+    assert not np.isnan(q_cap).any()
+    assert np.abs(q_full - q_cap).max() < 0.05, \
+        np.abs(q_full - q_cap).max()
+    # a punitive cap must still be finite/stable (quality degrades,
+    # stability must not)
+    q_tiny = roll(8)
+    assert not np.isnan(q_tiny).any()
