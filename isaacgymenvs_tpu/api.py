@@ -40,7 +40,7 @@ def make(seed: int = 0, task: str = "Ant", num_envs: Optional[int] = None,
     passthrough = ("contact_beta", "contact_timeconst",
                    "contact_dampratio", "friction_timeconst",
                    "power_iterations", "bounce_threshold",
-                   "max_contact_points",
+                   "max_contact_points", "contact_margin",
                    "max_depenetration_velocity", "freeze_mass_matrix",
                    "max_angular_velocity", "max_linear_velocity",
                    "friction_regularization")

@@ -340,6 +340,14 @@ class SimParams:
     # into O(K). Identical solution whenever actives fit in K.
     # 0 = solve all candidates (exact round-1 behavior).
     max_contact_points: int = 0
+    # speculative-contact margin (PhysX contactOffset, which the
+    # reference sets per factory asset — docs/factory.md SDF collision
+    # rides on it): candidates within this distance of touching become
+    # solver rows whose target is vn ≥ -gap/h, so a body can close at
+    # most its remaining gap per substep. Stops fast bodies at thin
+    # features (thread crests) instead of tunneling. 0 = contacts only
+    # activate at penetration (round-1 behavior).
+    contact_margin: float = 0.0
     power_iterations: int = 4            # λmax power-iteration count
     max_depenetration_velocity: float = 100.0
     bounce_threshold: float = 0.2        # PhysX bounce_threshold_velocity
@@ -361,7 +369,7 @@ class SimParams:
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
                      self.friction_timeconst, self.freeze_mass_matrix,
-                     self.max_contact_points,
+                     self.max_contact_points, self.contact_margin,
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,

@@ -117,6 +117,10 @@ class FactoryBase(VecTask):
             # the MuJoCo-style compliance that helps locomotion makes
             # the grasp slip, so keep the hard-contact path here
             contact_timeconst=base_sim.get("contact_timeconst", 0.0),
+            # speculative margin (PhysX contact_offset, reference
+            # FactoryBase.yaml:27): thread crests are thinner than one
+            # substep of travel — activate contacts before touching
+            contact_margin=base_sim.get("contact_margin", 0.005),
         )
         self.dt = self.sim.dt
         self.cfg_ctrl = ctl.parse_controller_spec(c.get("ctrl", {}))
@@ -180,6 +184,24 @@ class FactoryBase(VecTask):
              [1.0, 0.0, 0.0, 0.0]),
         ] + self._env_actors()
         scene = compose_models(actors)
+        # kinematic actors (pose restored post-step) must also be
+        # immovable DURING the step: with real inertia, a nut resting on
+        # the bolt accelerates the bolt downward all control step before
+        # the teleport-back, and the nut tracks it — a steady
+        # m_nut/m_bolt·g·dt ≈ 0.04 m/s downward creep THROUGH the thread
+        # contacts. Huge mass/inertia makes the solver treat them as
+        # static (the reference marks these actors fix_base and
+        # teleports the root tensor, factory_env_nut_bolt.py).
+        kin_bodies = [bi for bi, nm in enumerate(scene.body_names)
+                      if any(nm.startswith(p + "/")
+                             for p in self._kinematic_actors())]
+        if kin_bodies:
+            bm = np.array(scene.body_mass, np.float64)
+            bi_ = np.array(scene.body_inertia, np.float64)
+            bm[kin_bodies] = 1.0e6
+            bi_[kin_bodies] = np.eye(3) * 1.0e4
+            object.__setattr__(scene, "body_mass", bm)
+            object.__setattr__(scene, "body_inertia", bi_)
         self.actor_slices = dict(scene.actor_slices)
         self.model = scene
 

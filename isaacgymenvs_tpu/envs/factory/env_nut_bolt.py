@@ -73,6 +73,15 @@ class FactoryEnvNutBolt(FactoryBase):
         self.nut_hollow_factor = env_cfg.get("nut_hollow_factor", 0.55)
         self.nut_bolt_friction = env_cfg.get("nut_bolt_friction", 0.3)
         self.nut_lateral_offset = env_cfg.get("nut_lateral_offset", 0.1)
+        # SDF mesh contact for the nut<->bolt interface (reference
+        # docs/factory.md:95-128): nut-surface samples vs a voxel SDF of
+        # the bolt replace the primitive box-box pair, giving the nut a
+        # real threaded bore (it can drop AROUND the shank). Cooking
+        # falls back to primitives when only AABB-stub meshes are
+        # available and no vendored grid cache exists.
+        self.sdf_contact = env_cfg.get("sdf_contact", False)
+        self.sdf_samples = int(env_cfg.get("sdf_samples", 256))
+        self.sdf_grid_n = int(env_cfg.get("sdf_grid_n", 64))
         super().__init__(cfg, num_envs)
 
     # ------------------------------------------------------------- actors
@@ -181,17 +190,73 @@ class FactoryEnvNutBolt(FactoryBase):
                 nf[gi] = self.franka_friction
         object.__setattr__(self.model, "geom_friction", nf)
 
+        use_sdf = self.nut_free and self.sdf_contact
+        if use_sdf:
+            use_sdf = self._try_sdf_pairs() is not None
         if self.nut_free:
             bp = [("nut/nut", "table/table"),
                   ("nut/nut", "franka/panda_leftfinger"),
                   ("nut/nut", "franka/panda_rightfinger"),
-                  ("nut/nut", "franka/panda_hand"),
-                  ("nut/nut", "bolt/bolt")]
+                  ("nut/nut", "franka/panda_hand")]
+            if not use_sdf:
+                bp.append(("nut/nut", "bolt/bolt"))
         else:  # screw: finger <-> nut only (thread is the joint itself)
             bp = [("nutbolt/nut", "franka/panda_leftfinger"),
                   ("nutbolt/nut", "franka/panda_rightfinger"),
                   ("nutbolt/nut", "franka/panda_hand")]
         self.pair_contacts = build_pair_contacts(self.model, body_pairs=bp)
+        if use_sdf:
+            from ...physics.collide import add_sdf_pairs
+            self.pair_contacts = add_sdf_pairs(
+                self.pair_contacts, self.model, self._sdf_specs)
+
+    def _try_sdf_pairs(self):
+        """Resolve + cook the nut/bolt meshes; returns the spec list or
+        None when real geometry is unavailable (stub assets, no cache)."""
+        import warnings
+        from ...io.sdf import mesh_sdf_cropped, mesh_surface_points
+        from ...utils.assets import full_mesh_path
+        size_fit = self.subassembly.replace("nut_bolt_", "")
+        rel = "factory/mesh/factory_nut_bolt"
+        try:
+            nut_mesh = full_mesh_path(
+                f"{rel}/factory_nut_{size_fit}_subdiv_3x.obj")
+            bolt_mesh = full_mesh_path(f"{rel}/factory_bolt_{size_fit}.obj")
+            # restrict samples to the threaded bore: only surface within
+            # the bolt major diameter can ever engage the shank, and
+            # concentrating the fixed sample budget there is what
+            # resolves the ~1 mm thread ridges (the nut's outer flats /
+            # the bolt-head backstop are out of SDF scope by design)
+            r_keep = 0.6 * self.nut_bolt_info["bolt_width"]
+            # cook spacing fine enough for the thread profile:
+            # ~pitch/8 resolves the 60° flank wedge (m16: 0.25 mm)
+            spacing = self.nut_bolt_info["thread_pitch"] / 8.0
+            crop_r = 0.62 * self.nut_bolt_info["bolt_width"] \
+                + 4.0 * spacing
+            gb_arr = np.asarray(self.model.geom_body)
+            nut_geom = int(np.where(gb_arr == self.nut_body)[0][0])
+            bolt_geom = int(np.where(gb_arr == self.bolt_body)[0][0])
+            self._sdf_specs = [{
+                "body_a": self.nut_body, "geom_a": nut_geom,
+                "mesh_a": nut_mesh,
+                "body_b": self.bolt_body, "geom_b": bolt_geom,
+                "mesh_b": bolt_mesh,
+                "npts": self.sdf_samples,
+                "spacing": spacing,
+                "crop_lo": (-crop_r, -crop_r, -np.inf),
+                "crop_hi": (crop_r, crop_r, np.inf),
+                "keep_fn": lambda p: np.hypot(p[:, 0], p[:, 1]) < r_keep,
+            }]
+            # cook eagerly so failure falls back before model assembly
+            mesh_surface_points(nut_mesh, 1.0, self.sdf_samples, 0)
+            mesh_sdf_cropped(bolt_mesh, 1.0, spacing,
+                             self._sdf_specs[0]["crop_lo"],
+                             self._sdf_specs[0]["crop_hi"])
+            return self._sdf_specs
+        except (RuntimeError, FileNotFoundError) as e:
+            warnings.warn(f"SDF contact unavailable ({e}); "
+                          "falling back to primitive nut-bolt pair")
+            return None
 
     # -------------------------------------------------------------- state
     def _nut_pose(self, q):

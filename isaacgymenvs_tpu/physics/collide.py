@@ -112,6 +112,21 @@ class PairSet:
     sc_pos: np.ndarray = None    # (j,3) cylinder origin in body_b frame
     sc_quat: np.ndarray = None   # (j,4)
     sc_size: np.ndarray = None   # (j,2) radius, half-length
+    # mesh-SDF: surface samples of body A vs a voxel SDF carried by body
+    # B (the TPU equivalent of PhysX SDF mesh collision, reference
+    # docs/factory.md:95-128; cooking in io/sdf.py / native/fastsdf.c).
+    # Static shapes: the sample count is fixed at build; depth-ranked
+    # capping (SimParams.max_contact_points) bounds solver rows.
+    sdf_body: np.ndarray = None   # (p,2) int32
+    sdf_geom: np.ndarray = None   # (p,2) friction/restitution source geoms
+    sdf_off: np.ndarray = None    # (p,3) sample point in body_a frame
+    sdf_grid_id: np.ndarray = None  # (p,) index into sdf_grids
+    sdf_grids: tuple = None       # G × (n,n,n) float32, +outside/−inside
+    sdf_origin: np.ndarray = None  # (G,3) voxel(0,0,0) in grid frame
+    sdf_spacing: np.ndarray = None  # (G,)
+    sdf_pos: np.ndarray = None     # (G,3) grid frame origin in body_b frame
+    sdf_quat: np.ndarray = None    # (G,4) grid frame rotation (wxyz)
+    sdf_sweep: int = 16            # CCD taps along each sample's path/substep
 
     def __hash__(self):
         return id(self)
@@ -124,6 +139,8 @@ class PairSet:
         n = len(self.ss_body) + len(self.cc_body) + len(self.sb_body)
         if self.sc_body is not None:
             n += len(self.sc_body)
+        if self.sdf_body is not None:
+            n += len(self.sdf_body)
         return n
 
 
@@ -296,7 +313,7 @@ def _closest_seg_seg(p1, q1, p2, q2):
 
 
 def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
-                          kin: T.Kinematics, ps: PairSet):
+                          kin: T.Kinematics, ps: PairSet, h=None):
     """Runtime narrowphase for the static candidates: returns
     (depth (npc,), normal (npc,3) pointing B→A, cpt (npc,3),
      body_a, body_b (npc,), mu (npc,), e (npc,) restitution) —
@@ -457,10 +474,215 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
         mus.append(0.5 * (gf[ga] + gf[gb]))
         es.append(0.5 * (gr[ga] + gr[gb]))
 
+    if ps.sdf_body is not None and len(ps.sdf_body):
+        from ..core.maths import quat_mul, quat_rotate_inv
+        # static unroll over grids (G is tiny — one per SDF mesh)
+        for g_id, grid_np in enumerate(ps.sdf_grids):
+            sel = np.where(np.asarray(ps.sdf_grid_id) == g_id)[0]
+            if not len(sel):
+                continue
+            grid = jnp.asarray(grid_np, dtype)
+            dims_hi = jnp.asarray(
+                np.asarray(grid_np.shape, np.float64) - 1 - 1e-4, dtype)
+            dims_i2 = jnp.asarray(
+                np.asarray(grid_np.shape, np.int32) - 2)
+            spacing = float(ps.sdf_spacing[g_id])
+            origin = jnp.asarray(ps.sdf_origin[g_id], dtype)
+            ba = ps.sdf_body[sel, 0]
+            bb = ps.sdf_body[sel, 1]
+            ga = jnp.asarray(ps.sdf_geom[sel, 0])
+            gb = jnp.asarray(ps.sdf_geom[sel, 1])
+            sa, sb_ = gs[ga], gs[gb]
+            pa = world_pt(jnp.asarray(ba),
+                          jnp.asarray(ps.sdf_off[sel], dtype) * sa[:, None])
+            gq = quat_mul(kin.body_quat[jnp.asarray(bb)],
+                          jnp.broadcast_to(
+                              jnp.asarray(ps.sdf_quat[g_id], dtype), (len(sel), 4)))
+            gp = world_pt(jnp.asarray(bb),
+                          jnp.broadcast_to(
+                              jnp.asarray(ps.sdf_pos[g_id], dtype), (len(sel), 3)))
+            # per-env geom scale of the SDF carrier rescales the field
+            # (divide query, multiply distance)
+            local = quat_rotate_inv(gq, pa - gp) / sb_[:, None]
+
+            def _tri_val(uu):
+                """Trilinear SDF value at voxel coords uu (...,3), plus
+                the clamped out-of-grid excess (distance units)."""
+                uuc = jnp.clip(uu, 0.0, dims_hi)
+                ii = jnp.clip(jnp.floor(uuc).astype(jnp.int32), 0, dims_i2)
+                ff = uuc - ii
+                val = jnp.zeros(uu.shape[:-1], dtype)
+                for dx_ in (0, 1):
+                    for dy_ in (0, 1):
+                        for dz_ in (0, 1):
+                            w = ((ff[..., 0] if dx_ else 1 - ff[..., 0])
+                                 * (ff[..., 1] if dy_ else 1 - ff[..., 1])
+                                 * (ff[..., 2] if dz_ else 1 - ff[..., 2]))
+                            val = val + w * grid[ii[..., 0] + dx_,
+                                                 ii[..., 1] + dy_,
+                                                 ii[..., 2] + dz_]
+                return val + jnp.linalg.norm(uu - uuc, axis=-1) * spacing
+
+            # swept sampling (PhysX speculative-CCD analogue): thread
+            # crests are ~0.5 mm thin while a free-falling sample moves
+            # several mm per substep, so the substep-START distance
+            # misses barriers the path crosses. March each sample along
+            # its relative displacement over the substep in grid space
+            # and take the minimum-φ tap; the row's depth/normal then
+            # describe the worst point on the path, which the solver's
+            # speculative bias stops BEFORE it tunnels.
+            taps = int(getattr(ps, "sdf_sweep", 0) or 0)
+            if taps > 1 and h is not None:
+                bv_a = kin.body_vel[jnp.asarray(ba)]
+                bv_b = kin.body_vel[jnp.asarray(bb)]
+                rel = pa - kin.ref
+                v_rel = (bv_a[:, 3:] + jnp.cross(bv_a[:, :3], rel)
+                         - bv_b[:, 3:] - jnp.cross(bv_b[:, :3], rel))
+                dloc = quat_rotate_inv(gq, v_rel) * (h / sb_[:, None])
+                ts = jnp.linspace(0.0, 1.0, taps, dtype=dtype)
+                u_sw = (local[None] + ts[:, None, None] * dloc[None]
+                        - origin) / spacing                 # (K,p,3)
+                phi_sw = _tri_val(u_sw)                     # (K,p)
+                # FIRST surface crossing, not deepest point: at a thin
+                # crest the deepest tap's gradient points out the FAR
+                # side half the time (an active downward ratchet for a
+                # nut on threads); the entry tap's gradient always
+                # points back toward the approach side. No crossing ⇒
+                # closest approach (pure speculative row).
+                crossed = phi_sw < 0.0
+                tstar = jnp.where(crossed.any(axis=0),
+                                  jnp.argmax(crossed, axis=0),
+                                  jnp.argmin(phi_sw, axis=0))  # (p,)
+                u = jnp.take_along_axis(
+                    u_sw, tstar[None, :, None], axis=0)[0]
+                pa = pa + ts[tstar, None] * v_rel * h       # swept point
+            else:
+                u = (local - origin) / spacing
+            uc = jnp.clip(u, 0.0, dims_hi)
+            # trilinear value + analytic gradient (voxel coords)
+            i0 = jnp.clip(jnp.floor(uc).astype(jnp.int32), 0, dims_i2)
+            f = uc - i0
+            wx = jnp.stack([1 - f[:, 0], f[:, 0]])      # (2,p)
+            wy = jnp.stack([1 - f[:, 1], f[:, 1]])
+            wz = jnp.stack([1 - f[:, 2], f[:, 2]])
+            phi = jnp.zeros((len(sel),), dtype)
+            gx = jnp.zeros((len(sel),), dtype)
+            gy = jnp.zeros((len(sel),), dtype)
+            gz = jnp.zeros((len(sel),), dtype)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        c = grid[i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz]
+                        phi = phi + c * wx[dx] * wy[dy] * wz[dz]
+                        gx = gx + c * (2 * dx - 1) * wy[dy] * wz[dz]
+                        gy = gy + c * wx[dx] * (2 * dy - 1) * wz[dz]
+                        gz = gz + c * wx[dx] * wy[dy] * (2 * dz - 1)
+            # out-of-grid queries: add the clamped excess so far samples
+            # rank as deeply-separated (they must never win the top-k)
+            excess = jnp.linalg.norm((u - uc), axis=-1) * spacing
+            phi_w = (phi + excess) * sb_
+            grad = jnp.stack([gx, gy, gz], axis=-1)
+            n_loc = grad / jnp.maximum(
+                jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+            n = quat_rotate(gq, n_loc)
+            depth = -phi_w
+            cpt = pa - phi_w[:, None] * n      # project onto the surface
+            depths.append(depth); normals.append(n); cpts.append(cpt)
+            bas.append(jnp.asarray(ba)); bbs.append(jnp.asarray(bb))
+            mus.append(0.5 * (gf[ga] + gf[gb]))
+            es.append(0.5 * (gr[ga] + gr[gb]))
+
     return (jnp.concatenate(depths), jnp.concatenate(normals),
             jnp.concatenate(cpts), jnp.concatenate(bas),
             jnp.concatenate(bbs), jnp.concatenate(mus),
             jnp.concatenate(es))
+
+
+def add_sdf_pairs(ps: PairSet, model: T.ArticulationModel, specs) -> PairSet:
+    """Attach mesh-SDF contact candidates to a PairSet.
+
+    specs: iterable of dicts —
+      body_a / geom_a : names; surface-sampled side (points)
+      mesh_a          : OBJ/STL path sampled for contact points
+      body_b / geom_b : names; SDF-carrying side
+      mesh_b          : OBJ/STL path voxelized to a signed distance grid
+      scale_a/scale_b : mesh scale factors (default 1.0)
+      npts            : surface sample count (default 256; static shape)
+      grid_n          : cubic SDF resolution (default 64)
+      spacing         : explicit voxel spacing — switches to the cropped
+                        per-axis-dims cook (io/sdf.mesh_sdf_cropped);
+                        with crop_lo / crop_hi bounding the region of
+                        interest (e.g. a bolt's threaded shank, whose
+                        ~1 mm thread profile a coarse cubic grid blurs
+                        into nothing)
+      seed            : sampling seed (default 0)
+      keep_fn         : optional f(pts (n,3)) -> bool mask restricting
+                        samples to a region (e.g. a nut's threaded bore);
+                        kept samples are tiled back up to npts.
+
+    The TPU analogue of PhysX SDF mesh collision (reference
+    docs/factory.md:95-128): cook once host-side (io/sdf.py), sample
+    with static shapes under jit."""
+    from ..io.sdf import mesh_sdf, mesh_sdf_cropped, mesh_surface_points
+    bodies, geoms, offs, gids = [], [], [], []
+    grids, origins, spacings, gposs, gquats = [], [], [], [], []
+    def _bidx(v):
+        return int(v) if isinstance(v, (int, np.integer)) \
+            else model.body_index(v)
+
+    def _gidx(v):
+        return int(v) if isinstance(v, (int, np.integer)) \
+            else model.geom_index(v)
+
+    for spec in specs:
+        ba = _bidx(spec["body_a"])
+        bb = _bidx(spec["body_b"])
+        ga = _gidx(spec["geom_a"])
+        gb = _gidx(spec["geom_b"])
+        npts = int(spec.get("npts", 256))
+        pts, _nrm = mesh_surface_points(
+            spec["mesh_a"], spec.get("scale_a", 1.0), npts,
+            int(spec.get("seed", 0)))
+        keep = spec.get("keep_fn")
+        if keep is not None:
+            mask = np.asarray(keep(pts), bool)
+            if mask.any():
+                kept = pts[mask]
+                reps = int(np.ceil(npts / len(kept)))
+                pts = np.tile(kept, (reps, 1))[:npts]
+        if spec.get("spacing"):
+            sdf, origin, spacing = mesh_sdf_cropped(
+                spec["mesh_b"], spec.get("scale_b", 1.0),
+                float(spec["spacing"]), spec.get("crop_lo"),
+                spec.get("crop_hi"))
+        else:
+            sdf, origin, spacing = mesh_sdf(
+                spec["mesh_b"], spec.get("scale_b", 1.0),
+                int(spec.get("grid_n", 64)))
+        gid = len(grids)
+        grids.append(np.asarray(sdf, np.float32))
+        origins.append(np.asarray(origin, np.float32))
+        spacings.append(float(spacing))
+        gposs.append(np.asarray(spec.get("grid_pos", (0, 0, 0)), np.float32))
+        gquats.append(np.asarray(spec.get("grid_quat", (1, 0, 0, 0)),
+                                 np.float32))
+        n_s = len(pts)
+        bodies.append(np.stack([np.full(n_s, ba), np.full(n_s, bb)], 1))
+        geoms.append(np.stack([np.full(n_s, ga), np.full(n_s, gb)], 1))
+        offs.append(np.asarray(pts, np.float32))
+        gids.append(np.full(n_s, gid, np.int32))
+    return dataclasses.replace(
+        ps,
+        sdf_body=np.concatenate(bodies).astype(np.int32),
+        sdf_geom=np.concatenate(geoms).astype(np.int32),
+        sdf_off=np.concatenate(offs),
+        sdf_grid_id=np.concatenate(gids),
+        sdf_grids=tuple(grids),
+        sdf_origin=np.stack(origins),
+        sdf_spacing=np.asarray(spacings, np.float32),
+        sdf_pos=np.stack(gposs),
+        sdf_quat=np.stack(gquats),
+        sdf_sweep=max(int(s.get("sweep", 16)) for s in specs))
 
 
 @functools.lru_cache(maxsize=None)

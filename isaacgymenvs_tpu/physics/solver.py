@@ -260,13 +260,24 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     Jt1 = jnp.einsum("vci,ci->cv", v_dof, t1)
     Jt2 = jnp.einsum("vci,ci->cv", v_dof, t2)
 
-    active = depth > 0.0
-    bias = -jnp.clip(sim.contact_beta * depth / h, 0.0,
-                     sim.max_depenetration_velocity)
+    # speculative contacts (PhysX contactOffset analogue): rows within
+    # contact_margin of touching activate with bias = -depth/h — the
+    # point may close at most its remaining gap this substep, which
+    # stops fast approaches at thin features (factory thread crests)
+    # instead of tunneling through them between substeps. Penetrating
+    # rows keep the Baumgarte push-out. margin 0 ⇒ round-1 behavior.
+    active = depth > -sim.contact_margin
+    bias = jnp.where(
+        depth > 0.0,
+        -jnp.clip(sim.contact_beta * depth / h, 0.0,
+                  sim.max_depenetration_velocity),
+        -depth / h)
     vn_pre = Jn @ qd_free
     # restitution: target normal velocity -e·v_n for impacts faster than
-    # the bounce threshold (PhysX bounce_threshold_velocity)
-    bounce = jnp.where(vn_pre < -sim.bounce_threshold, rest * vn_pre, 0.0)
+    # the bounce threshold (PhysX bounce_threshold_velocity); only for
+    # touching rows — a speculative row must not bounce before contact
+    bounce = jnp.where((vn_pre < -sim.bounce_threshold) & (depth > 0.0),
+                       rest * vn_pre, 0.0)
     rows_J = [Jn, Jt1, Jt2]
     rows_b = [vn_pre + jnp.where(active, bias + bounce, 0.0),
               Jt1 @ qd_free, Jt2 @ qd_free]

@@ -165,7 +165,8 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
         qdd = Minv @ (tau - C - dimp * qd)
         qd_free = qd + h * qdd
         if impulse:
-            pg = (pair_contact_geometry(model, params, kin, pair_contacts)
+            pg = (pair_contact_geometry(model, params, kin, pair_contacts,
+                                        h=h)
                   if pair_contacts is not None and pair_contacts.count
                   else None)
             qd_new, body_cf, body_ct = solve_constraints(

@@ -42,3 +42,32 @@ def asset_path(rel: str) -> str:
     raise FileNotFoundError(
         f"asset {rel!r} not found under $ISAACGYMENVS_TPU_ASSETS, "
         f"{_REPO_ASSETS}, or {_FALLBACK}")
+
+
+def full_mesh_path(rel: str) -> str:
+    """Like asset_path, but skips vendored AABB-stub meshes (8 vertices,
+    no faces) in favor of a later root with real triangles — used by SDF
+    cooking (io/sdf.py), which needs actual geometry. Returns the stub
+    as a last resort so callers get a consistent FileNotFoundError/
+    cook-failure story."""
+    stub = None
+    for root in ([os.environ["ISAACGYMENVS_TPU_ASSETS"]]
+                 if os.environ.get("ISAACGYMENVS_TPU_ASSETS") else []) \
+            + [_REPO_ASSETS, _FALLBACK]:
+        p = os.path.join(root, rel)
+        if not os.path.exists(p):
+            continue
+        try:
+            with open(p, "r", errors="ignore") as f:
+                head = f.read(256)
+            if "AABB stub" in head:
+                stub = stub or p
+                continue
+        except OSError:
+            pass
+        return p
+    if stub:
+        return stub
+    raise FileNotFoundError(
+        f"mesh {rel!r} not found under $ISAACGYMENVS_TPU_ASSETS, "
+        f"{_REPO_ASSETS}, or {_FALLBACK}")

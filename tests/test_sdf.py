@@ -1,0 +1,146 @@
+"""Mesh-SDF collision tests: cooking accuracy (native/fastsdf.c via
+io/sdf.py) against analytic fields, sampler invariants, and the
+factory nut-bolt integration (the TPU analogue of PhysX SDF mesh
+collision, reference docs/factory.md:95-128)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from isaacgymenvs_tpu.io.sdf import mesh_sdf, mesh_surface_points
+
+
+@pytest.fixture(scope="module")
+def cube_obj(tmp_path_factory):
+    """Axis-aligned cube [-0.05, 0.05]^3 as a 12-triangle OBJ with
+    outward winding."""
+    v = np.array([[x, y, z] for x in (-.05, .05) for y in (-.05, .05)
+                  for z in (-.05, .05)])
+    faces = [(1, 2, 4), (1, 4, 3), (5, 7, 8), (5, 8, 6), (1, 5, 6),
+             (1, 6, 2), (3, 4, 8), (3, 8, 7), (1, 3, 7), (1, 7, 5),
+             (2, 6, 8), (2, 8, 4)]
+    p = tmp_path_factory.mktemp("sdf") / "cube.obj"
+    with open(p, "w") as f:
+        for pt in v:
+            f.write(f"v {pt[0]} {pt[1]} {pt[2]}\n")
+        for a, b, c in faces:
+            f.write(f"f {a} {b} {c}\n")
+    return str(p)
+
+
+def _analytic_box(p, h=0.05):
+    q = np.abs(p) - h
+    return (np.linalg.norm(np.maximum(q, 0))
+            + min(max(q[0], max(q[1], q[2])), 0.0))
+
+
+def test_cube_sdf_matches_analytic(cube_obj):
+    sdf, org, sp = mesh_sdf(cube_obj, 1.0, 48)
+    assert sdf.shape == (48, 48, 48)
+    rng = np.random.default_rng(0)
+    errs = []
+    for _ in range(200):
+        p = rng.uniform(-0.08, 0.08, 3)
+        u = (p - org) / sp
+        if (u < 0).any() or (u > 46.99).any():
+            continue
+        i = np.floor(u).astype(int)
+        f = u - i
+        val = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = ((f[0] if dx else 1 - f[0])
+                         * (f[1] if dy else 1 - f[1])
+                         * (f[2] if dz else 1 - f[2]))
+                    val += sdf[i[0] + dx, i[1] + dy, i[2] + dz] * w
+        errs.append(val - _analytic_box(p))
+    errs = np.abs(errs)
+    # trilinear error bound ~ spacing/4; chamfer adds a few % far field
+    assert errs.max() < 0.5 * sp, (errs.max(), sp)
+    # sign structure: center deeply inside, corners outside
+    n = 48
+    assert sdf[n // 2, n // 2, n // 2] < -0.03
+    assert sdf[0, 0, 0] > 0.01
+
+
+def test_cube_surface_samples(cube_obj):
+    pts, nrm = mesh_surface_points(cube_obj, 1.0, 400, seed=3)
+    assert pts.shape == (400, 3) and nrm.shape == (400, 3)
+    # every sample on a face: max coordinate == 0.05
+    assert np.abs(np.max(np.abs(pts), axis=1) - 0.05).max() < 1e-6
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+    # determinism: same seed, same points
+    pts2, _ = mesh_surface_points(cube_obj, 1.0, 400, seed=3)
+    np.testing.assert_array_equal(pts, pts2)
+
+
+def test_sdf_cache_roundtrip(cube_obj, tmp_path, monkeypatch):
+    monkeypatch.setenv("ISAACGYMENVS_TPU_SDF_CACHE", str(tmp_path))
+    s1, o1, sp1 = mesh_sdf(cube_obj, 1.0, 24)
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+    s2, o2, sp2 = mesh_sdf(cube_obj, 1.0, 24)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(o1, o2)
+    assert sp1 == sp2
+
+
+def _real_meshes_available():
+    from isaacgymenvs_tpu.utils.assets import full_mesh_path
+    try:
+        p = full_mesh_path(
+            "factory/mesh/factory_nut_bolt/factory_bolt_m16_tight.obj")
+        with open(p, errors="ignore") as f:
+            return "AABB stub" not in f.read(256)
+    except FileNotFoundError:
+        return False
+
+
+@pytest.mark.skipif(not _real_meshes_available(),
+                    reason="full factory meshes not mounted and no cache")
+def test_nut_bolt_sdf_drop_catches_on_threads():
+    """A non-rotating nut dropped axis-aligned over the bolt tip must
+    catch on the threads (it cannot translate down a threaded shank)
+    and must never tunnel into the bolt head region."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+
+    c = load_task_config("FactoryTaskNutBoltPick")
+    c.setdefault("env", {})["sdf_contact"] = True
+    env = isaacgymenvs_tpu.make(task="FactoryTaskNutBoltPick",
+                                num_envs=2, cfg=c)
+    assert env.pair_contacts.sdf_body is not None
+    assert len(env.pair_contacts.sdf_body) > 0
+    info = env.nut_bolt_info
+    th = env.table_height
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    q = np.array(state.art.q)
+    # reset randomizes the (kinematic) bolt's XY — drop over ITS axis
+    bolt_xy = q[:, env.bolt_q:env.bolt_q + 2]
+    drop_z = th + info["bolt_head_height"] + info["bolt_shank_length"] \
+        - 0.012
+    q[:, env.nut_q:env.nut_q + 2] = bolt_xy
+    q[:, env.nut_q + 2] = drop_z
+    q[:, env.nut_q + 3:env.nut_q + 7] = [1, 0, 0, 0]
+    qd = np.array(state.art.qd)
+    qd[:, env.nut_v:env.nut_v + 6] = 0
+    state = dataclasses.replace(state, art=dataclasses.replace(
+        state.art, q=jnp.asarray(q), qd=jnp.asarray(qd)))
+    stepf = jax.jit(env.step)
+    acts = jnp.zeros((2, env.num_acts))
+    # stay inside one episode: the task auto-resets at
+    # max_episode_length, which teleports the nut back to the table
+    n_steps = min(90, int(env.max_episode_length) - 2)
+    for _ in range(n_steps):
+        state, _ts = stepf(state, acts)
+    qf = np.asarray(state.art.q)
+    assert not np.isnan(qf).any()
+    z_rel = qf[0, env.nut_q + 2] - th
+    # caught on threads: origin stays in the shank span, far above the
+    # fully-screwed pose (0) — tunneling would put it at/below 0
+    assert 0.005 < z_rel < info["bolt_shank_length"] + 0.01, z_rel
