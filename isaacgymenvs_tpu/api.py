@@ -39,6 +39,7 @@ def make(seed: int = 0, task: str = "Ant", num_envs: Optional[int] = None,
     # factory disable_gravity) by env constructors themselves
     passthrough = ("contact_beta", "contact_timeconst",
                    "contact_dampratio", "friction_timeconst",
+                   "limit_timeconst", "limit_dampratio",
                    "power_iterations", "bounce_threshold",
                    "max_contact_points", "contact_margin",
                    "max_depenetration_velocity", "freeze_mass_matrix",

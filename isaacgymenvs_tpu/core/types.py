@@ -317,6 +317,13 @@ class SimParams:
     # an opt-in research knob, not the product default.
     contact_timeconst: float = 0.0
     contact_dampratio: float = 2.0
+    # MuJoCo-style JOINT-LIMIT compliance (solreflimit; MuJoCo default
+    # solref (0.02, 1) applies to limit rows too). A standing humanoid
+    # leans on its knee extension stops — hard limit rows make that a
+    # rigid wall where MuJoCo gives a stiff spring-damper, and the
+    # difference dominates biped balance dynamics. 0.0 = hard rows.
+    limit_timeconst: float = 0.0
+    limit_dampratio: float = 1.0
     # optional friction-row compliance with its OWN (stiffer) time
     # constant: micro-slip regularization for foot-rocking bipeds
     # without the gross stance creep of equal-softness friction.
@@ -368,6 +375,7 @@ class SimParams:
                      self.solver_iterations, self.contact_beta,
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
+                     self.limit_timeconst, self.limit_dampratio,
                      self.friction_timeconst, self.freeze_mass_matrix,
                      self.max_contact_points, self.contact_margin,
                      self.max_depenetration_velocity, self.contact_stiffness,

@@ -62,6 +62,12 @@ class FactoryEnvInsertion(FactoryBase):
         self.subassembly = subs[0]
         self.insertion_info = INSERTION_INFO[self.subassembly]
         self.plug_lateral_offset = env_cfg.get("plug_lateral_offset", 0.1)
+        # SDF mesh contact plug<->socket (reference docs/factory.md:95-128):
+        # plug-surface samples vs a voxel SDF of the real socket mesh —
+        # true round holes instead of the square rim-box approximation,
+        # with rounded rims acting like real chamfers on entry.
+        self.sdf_contact = env_cfg.get("sdf_contact", False)
+        self.sdf_samples = int(env_cfg.get("sdf_samples", 256))
         super().__init__(cfg, num_envs)
 
     def _plug_model(self):
@@ -123,12 +129,58 @@ class FactoryEnvInsertion(FactoryBase):
                 nf[gi] = self.franka_friction
         object.__setattr__(self.model, "geom_friction", nf)
 
+        use_sdf = self.sdf_contact and self._try_sdf_pairs() is not None
         bp = [("plug/plug", "table/table"),
               ("plug/plug", "franka/panda_leftfinger"),
               ("plug/plug", "franka/panda_rightfinger"),
-              ("plug/plug", "franka/panda_hand"),
-              ("plug/plug", "socket/socket")]
+              ("plug/plug", "franka/panda_hand")]
+        if not use_sdf:
+            bp.append(("plug/plug", "socket/socket"))
         self.pair_contacts = build_pair_contacts(self.model, body_pairs=bp)
+        if use_sdf:
+            from ...physics.collide import add_sdf_pairs
+            self.pair_contacts = add_sdf_pairs(
+                self.pair_contacts, self.model, self._sdf_specs)
+
+    def _try_sdf_pairs(self):
+        """Resolve + cook plug/socket meshes; None when only AABB-stub
+        assets are reachable and no vendored grid cache exists."""
+        import warnings
+        from ...io.sdf import mesh_sdf_cropped, mesh_surface_points
+        from ...utils.assets import full_mesh_path
+        kind = self.insertion_info["kind"]
+        mm_fit = self.subassembly.split("peg_hole_")[1]   # e.g. 8mm_loose
+        mm = mm_fit.split("_")[0]
+        rel = "factory/mesh/factory_insertion"
+        peg_rel = (f"{rel}/factory_round_peg_{mm_fit}.obj"
+                   if kind == "round" else
+                   f"{rel}/factory_rectangular_peg_{mm_fit}_subdiv_3x.obj")
+        hole_rel = (f"{rel}/factory_round_hole_{mm}_subdiv_3x.obj"
+                    if kind == "round" else
+                    f"{rel}/factory_rectangular_hole_{mm}_subdiv_3x.obj")
+        try:
+            peg_mesh = full_mesh_path(peg_rel)
+            hole_mesh = full_mesh_path(hole_rel)
+            # hole walls are planes (exact under trilinear); spacing only
+            # rounds the rims, which acts like a real entry chamfer
+            spacing = 4.0e-4
+            gb_arr = np.asarray(self.model.geom_body)
+            plug_geom = int(np.where(gb_arr == self.plug_body)[0][0])
+            socket_geom = int(np.where(gb_arr == self.socket_body)[0][0])
+            self._sdf_specs = [{
+                "body_a": self.plug_body, "geom_a": plug_geom,
+                "mesh_a": peg_mesh,
+                "body_b": self.socket_body, "geom_b": socket_geom,
+                "mesh_b": hole_mesh,
+                "npts": self.sdf_samples, "spacing": spacing,
+            }]
+            mesh_surface_points(peg_mesh, 1.0, self.sdf_samples, 0)
+            mesh_sdf_cropped(hole_mesh, 1.0, spacing)
+            return self._sdf_specs
+        except (RuntimeError, FileNotFoundError) as e:
+            warnings.warn(f"SDF contact unavailable ({e}); "
+                          "falling back to the primitive rim-box socket")
+            return None
 
     def _plug_pose(self, q):
         return q[self.plug_q:self.plug_q + 3], \

@@ -363,6 +363,15 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         rf = h / sim.friction_timeconst
         denf = rf * rf + 2.0 * sim.contact_dampratio * rf
         cfm = cfm.at[nc:3 * nc].add(dA_base[nc:3 * nc] / denf)
+    # joint-limit compliance (MuJoCo solreflimit; default solref (0.02,1)
+    # covers limit rows): knees pressed against their extension stop —
+    # how every humanoid stands — get a stiff spring-damper instead of a
+    # rigid wall. Same scale-free cfm expression as contacts.
+    if nl and sim.limit_timeconst > 0.0:
+        rl_ = h / sim.limit_timeconst
+        denl = rl_ * rl_ + 2.0 * sim.limit_dampratio * rl_
+        cfm = cfm.at[3 * nc:3 * nc + nl].add(
+            dA_base[3 * nc:3 * nc + nl] / denl)
 
     def Amv(x):
         return J @ (MinvJT @ x) + cfm * x

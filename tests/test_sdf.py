@@ -87,11 +87,11 @@ def test_sdf_cache_roundtrip(cube_obj, tmp_path, monkeypatch):
     assert sp1 == sp2
 
 
-def _real_meshes_available():
+def _real_meshes_available(rel="factory/mesh/factory_nut_bolt/"
+                               "factory_bolt_m16_tight.obj"):
     from isaacgymenvs_tpu.utils.assets import full_mesh_path
     try:
-        p = full_mesh_path(
-            "factory/mesh/factory_nut_bolt/factory_bolt_m16_tight.obj")
+        p = full_mesh_path(rel)
         with open(p, errors="ignore") as f:
             return "AABB stub" not in f.read(256)
     except FileNotFoundError:
@@ -144,3 +144,57 @@ def test_nut_bolt_sdf_drop_catches_on_threads():
     # caught on threads: origin stays in the shank span, far above the
     # fully-screwed pose (0) — tunneling would put it at/below 0
     assert 0.005 < z_rel < info["bolt_shank_length"] + 0.01, z_rel
+
+
+@pytest.mark.skipif(
+    not _real_meshes_available("factory/mesh/factory_insertion/"
+                               "factory_round_hole_8mm_subdiv_3x.obj"),
+    reason="full factory meshes not mounted and no cache")
+def test_round_peg_sdf_insert_and_block():
+    """Env 0 drops the round peg aligned over the round hole — it must
+    insert (settle near the hole bottom). Env 1 drops it over the solid
+    block face next to the hole — it must rest ON the socket top, not
+    tunnel in. Impossible to get both right with the rim-box socket."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+
+    c = load_task_config("FactoryTaskInsertion")
+    c.setdefault("env", {})["sdf_contact"] = True
+    env = isaacgymenvs_tpu.make(task="FactoryTaskInsertion",
+                                num_envs=2, cfg=c)
+    assert env.pair_contacts.sdf_body is not None
+    info = env.insertion_info
+    th = env.table_height
+    hh = info["hole_h"]
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    q = np.array(state.art.q)
+    sock_xy = q[:, env.socket_q:env.socket_q + 2]
+    # env0: aligned, pre-engaged 5 mm into the hole (a free drop from
+    # above wedge-jams at ~2 mm engagement and tips over — physically
+    # correct at 0.11 mm clearance, but not what this test probes):
+    # the walls must guide it down to the hole bottom
+    q[0, env.plug_q:env.plug_q + 2] = sock_xy[0]
+    q[0, env.plug_q + 2] = th + hh - 0.005
+    # env1: over the solid block corner region (hole is centered;
+    # block half-width 12.5 mm, hole radius ~4 mm)
+    q[1, env.plug_q:env.plug_q + 2] = sock_xy[1] + np.array([0.008, 0.008])
+    q[1, env.plug_q + 2] = th + hh + 0.002
+    q[:, env.plug_q + 3:env.plug_q + 7] = [1, 0, 0, 0]
+    qd = np.array(state.art.qd)
+    qd[:, env.plug_v:env.plug_v + 6] = 0
+    state = dataclasses.replace(state, art=dataclasses.replace(
+        state.art, q=jnp.asarray(q), qd=jnp.asarray(qd)))
+    stepf = jax.jit(env.step)
+    acts = jnp.zeros((2, env.num_acts))
+    n_steps = min(60, int(env.max_episode_length) - 2)
+    for _ in range(n_steps):
+        state, _ts = stepf(state, acts)
+    qf = np.asarray(state.art.q)
+    assert not np.isnan(qf).any()
+    z0 = qf[0, env.plug_q + 2] - th           # inserted: at hole bottom
+    z1 = qf[1, env.plug_q + 2] - th           # blocked: on the top face
+    assert z0 < 0.003, z0
+    assert z1 > hh - 0.003, z1
