@@ -207,3 +207,24 @@ def test_fastmesh_native_matches_python():
         np.testing.assert_allclose(np.array(h[:]), h_py, atol=1e-9)
         checked += 1
     assert checked > 50
+
+
+def test_poselib_viz_outputs(tmp_path):
+    """plot_skeleton_state/motion render non-trivial PNG/GIF headlessly
+    (parity: reference poselib/visualization drives an interactive
+    matplotlib window; serving hosts have no display)."""
+    from isaacgymenvs_tpu.io import poselib as pl
+    from isaacgymenvs_tpu.io.poselib_viz import (plot_skeleton_motion,
+                                                 plot_skeleton_state)
+    from isaacgymenvs_tpu.utils.assets import asset_path
+    m = pl.SkeletonMotion.from_file(
+        asset_path("amp/motions/amp_humanoid_walk.npy"))
+    png = plot_skeleton_state(
+        pl.SkeletonState(m.skeleton_tree, m.rotation[0],
+                         m.root_translation[0]),
+        str(tmp_path / "f0.png"))
+    gif = plot_skeleton_motion(m, str(tmp_path / "walk.gif"),
+                               max_frames=6)
+    import os
+    assert os.path.getsize(png) > 5000
+    assert os.path.getsize(gif) > 20000
