@@ -57,8 +57,10 @@ def save_checkpoint(path: str, ts: TrainState, meta: Optional[dict] = None):
 
     Multi-host: sharded leaves that span processes are gathered with
     process_allgather so host 0 writes a complete state (np.asarray on a
-    non-fully-addressable array raises)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    non-fully-addressable array raises). process_allgather is a
+    COLLECTIVE — every process must call save_checkpoint (the write
+    itself is host-0-gated inside); gating the call on host 0 deadlocks
+    the shutdown barrier (caught by tests/test_multihost.py)."""
 
     def to_host(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
@@ -75,6 +77,9 @@ def save_checkpoint(path: str, ts: TrainState, meta: Optional[dict] = None):
         if hasattr(ts, f) and getattr(ts, f) is not None:
             ts = _dc.replace(ts, **{f: None})
     host = jax.tree_util.tree_map(to_host, ts)
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump({"train_state": host, "meta": meta or {}}, f)
@@ -187,17 +192,20 @@ class Runner:
                           f"fps {fps:9.0f} | kl {kl:.4f}", flush=True)
                 if ep_n_acc > 0:
                     ep_r_acc = ep_l_acc = ep_n_acc = 0.0
-            if self.host0 and self.save_freq and e \
-                    and e % self.save_freq == 0:
+            # save_checkpoint must run on EVERY process (its
+            # process_allgather is a collective; host 0 does the write) —
+            # the triggering predicates (epoch, ep_rew from globally
+            # reduced metrics) are identical across hosts
+            if self.save_freq and e and e % self.save_freq == 0:
                 save_checkpoint(os.path.join(nn_dir, "last.ckpt"), ts,
                                 {"epoch": e, "reward": ep_rew})
-            if self.host0 and e >= self.save_best_after and ep_rew > best:
+            if e >= self.save_best_after and ep_rew > best:
                 best = ep_rew
                 save_checkpoint(os.path.join(nn_dir, "best.ckpt"), ts,
                                 {"epoch": e, "reward": ep_rew})
+        save_checkpoint(os.path.join(nn_dir, "final.ckpt"), ts,
+                        {"epoch": self.cfg.max_epochs})
         if self.host0:
-            save_checkpoint(os.path.join(nn_dir, "final.ckpt"), ts,
-                            {"epoch": self.cfg.max_epochs})
             print(f"train done in {time.time()-t_start:.1f}s")
         return ts
 
