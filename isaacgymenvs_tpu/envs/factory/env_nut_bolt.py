@@ -81,7 +81,6 @@ class FactoryEnvNutBolt(FactoryBase):
         # available and no vendored grid cache exists.
         self.sdf_contact = env_cfg.get("sdf_contact", False)
         self.sdf_samples = int(env_cfg.get("sdf_samples", 256))
-        self.sdf_grid_n = int(env_cfg.get("sdf_grid_n", 64))
         super().__init__(cfg, num_envs)
 
     # ------------------------------------------------------------- actors

@@ -72,7 +72,7 @@ def plot_skeleton_motion(motion, path: str, max_frames: int = 120,
     parents = np.asarray(motion.skeleton_tree.parent_indices)
     T = xyz.shape[0]
     if stride is None:
-        stride = max(1, T // max_frames)
+        stride = max(1, -(-T // max_frames))   # ceil: frames ≤ max_frames
     frames = []
     fig = plt.figure(figsize=(5, 5), dpi=90)
     ax = fig.add_subplot(projection="3d")

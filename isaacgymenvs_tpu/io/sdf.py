@@ -79,9 +79,11 @@ _VENDOR_CACHE = os.path.normpath(os.path.join(
 
 
 def _cache_dirs() -> list:
-    """Search order: $ISAACGYMENVS_TPU_SDF_CACHE, the vendored repo cache
+    """Lookup order: $ISAACGYMENVS_TPU_SDF_CACHE, the vendored repo cache
     (committed grids make factory SDF contact work without the reference
-    mesh mount), ~/.cache. First writable dir receives new cooks."""
+    mesh mount), ~/.cache. New cooks are written to the env-var dir if
+    set, else ~/.cache — never the vendored dir (vendored grids are
+    updated deliberately, not as a test side effect)."""
     dirs = []
     env = os.environ.get("ISAACGYMENVS_TPU_SDF_CACHE")
     if env:
@@ -91,33 +93,60 @@ def _cache_dirs() -> list:
     return dirs
 
 
+def _is_stub(mesh_path: str) -> bool:
+    try:
+        with open(mesh_path, "r", errors="ignore") as f:
+            return "AABB stub" in f.read(256)
+    except OSError:
+        return True
+
+
 def _cache_name(mesh_path: str, tag: str, **params) -> str:
-    # keyed by basename + size (NOT mtime/abspath: the same NVIDIA asset
-    # may be resolved from the repo or the reference mount)
-    size = os.stat(mesh_path).st_size if os.path.exists(mesh_path) else 0
-    key = f"{os.path.basename(mesh_path)}|{size}|" \
+    """Cache filename: {stem}.{tag}.{param-hash}.{content-hash}.npz.
+
+    The content hash fingerprints the REAL mesh bytes. When only an
+    AABB-stub asset is reachable (plain checkout without the reference
+    mesh mount), the content hash is unknowable — `_cache_lookup` then
+    accepts any committed grid matching stem+tag+params, which is what
+    makes the vendored factory caches work stub-only while still
+    invalidating on a real-mesh content change."""
+    key = f"{os.path.basename(mesh_path)}|" \
           + "|".join(f"{k}={v}" for k, v in sorted(params.items()))
-    h = hashlib.sha1(key.encode()).hexdigest()[:16]
+    ph = hashlib.sha1(key.encode()).hexdigest()[:12]
     stem = os.path.splitext(os.path.basename(mesh_path))[0]
-    return f"{stem}.{tag}.{h}.npz"
+    if _is_stub(mesh_path):
+        ch = "*"
+    else:
+        with open(mesh_path, "rb") as f:
+            ch = hashlib.sha1(f.read()).hexdigest()[:8]
+    return f"{stem}.{tag}.{ph}.{ch}.npz"
 
 
 def _cache_lookup(name: str):
+    import glob as _glob
     for d in _cache_dirs():
-        p = os.path.join(d, name)
-        if os.path.exists(p):
-            return p
+        if name.endswith(".*.npz"):
+            hits = sorted(_glob.glob(os.path.join(_glob.escape(d),
+                                                  name)))
+            if hits:
+                return hits[0]
+        else:
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
     return None
 
 
 def _cache_store(name: str, **arrays):
-    for d in _cache_dirs():
-        try:
-            os.makedirs(d, exist_ok=True)
-            np.savez_compressed(os.path.join(d, name), **arrays)
-            return
-        except OSError:
-            continue
+    if name.endswith(".*.npz"):  # stub source: nothing worth caching
+        return
+    env = os.environ.get("ISAACGYMENVS_TPU_SDF_CACHE")
+    d = env or os.path.expanduser("~/.cache/isaacgymenvs_tpu_sdf")
+    try:
+        os.makedirs(d, exist_ok=True)
+        np.savez_compressed(os.path.join(d, name), **arrays)
+    except OSError:
+        pass
 
 
 def mesh_sdf(mesh_path: str, scale: float = 1.0, n: int = 64,

@@ -505,23 +505,35 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
             # (divide query, multiply distance)
             local = quat_rotate_inv(gq, pa - gp) / sb_[:, None]
 
-            def _tri_val(uu):
-                """Trilinear SDF value at voxel coords uu (...,3), plus
-                the clamped out-of-grid excess (distance units)."""
+            def _tri(uu, with_grad=False):
+                """Trilinear SDF value at voxel coords uu (...,3) plus
+                the clamped out-of-grid excess (distance units); with
+                with_grad also the analytic gradient (voxel coords).
+                Single source of truth for clamping/excess — the sweep
+                and the final row evaluation must agree or the chosen
+                tap's φ wouldn't match the reported depth."""
                 uuc = jnp.clip(uu, 0.0, dims_hi)
                 ii = jnp.clip(jnp.floor(uuc).astype(jnp.int32), 0, dims_i2)
                 ff = uuc - ii
                 val = jnp.zeros(uu.shape[:-1], dtype)
+                g = [jnp.zeros(uu.shape[:-1], dtype) for _ in range(3)]
                 for dx_ in (0, 1):
                     for dy_ in (0, 1):
                         for dz_ in (0, 1):
-                            w = ((ff[..., 0] if dx_ else 1 - ff[..., 0])
-                                 * (ff[..., 1] if dy_ else 1 - ff[..., 1])
-                                 * (ff[..., 2] if dz_ else 1 - ff[..., 2]))
-                            val = val + w * grid[ii[..., 0] + dx_,
-                                                 ii[..., 1] + dy_,
-                                                 ii[..., 2] + dz_]
-                return val + jnp.linalg.norm(uu - uuc, axis=-1) * spacing
+                            wx_ = ff[..., 0] if dx_ else 1 - ff[..., 0]
+                            wy_ = ff[..., 1] if dy_ else 1 - ff[..., 1]
+                            wz_ = ff[..., 2] if dz_ else 1 - ff[..., 2]
+                            c = grid[ii[..., 0] + dx_, ii[..., 1] + dy_,
+                                     ii[..., 2] + dz_]
+                            val = val + c * wx_ * wy_ * wz_
+                            if with_grad:
+                                g[0] = g[0] + c * (2 * dx_ - 1) * wy_ * wz_
+                                g[1] = g[1] + c * wx_ * (2 * dy_ - 1) * wz_
+                                g[2] = g[2] + c * wx_ * wy_ * (2 * dz_ - 1)
+                val = val + jnp.linalg.norm(uu - uuc, axis=-1) * spacing
+                if not with_grad:
+                    return val
+                return val, jnp.stack(g, axis=-1)
 
             # swept sampling (PhysX speculative-CCD analogue): thread
             # crests are ~0.5 mm thin while a free-falling sample moves
@@ -542,7 +554,7 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
                 ts = jnp.linspace(0.0, 1.0, taps, dtype=dtype)
                 u_sw = (local[None] + ts[:, None, None] * dloc[None]
                         - origin) / spacing                 # (K,p,3)
-                phi_sw = _tri_val(u_sw)                     # (K,p)
+                phi_sw = _tri(u_sw)                         # (K,p)
                 # FIRST surface crossing, not deepest point: at a thin
                 # crest the deepest tap's gradient points out the FAR
                 # side half the time (an active downward ratchet for a
@@ -558,30 +570,11 @@ def pair_contact_geometry(model: T.ArticulationModel, params: T.PhysParams,
                 pa = pa + ts[tstar, None] * v_rel * h       # swept point
             else:
                 u = (local - origin) / spacing
-            uc = jnp.clip(u, 0.0, dims_hi)
-            # trilinear value + analytic gradient (voxel coords)
-            i0 = jnp.clip(jnp.floor(uc).astype(jnp.int32), 0, dims_i2)
-            f = uc - i0
-            wx = jnp.stack([1 - f[:, 0], f[:, 0]])      # (2,p)
-            wy = jnp.stack([1 - f[:, 1], f[:, 1]])
-            wz = jnp.stack([1 - f[:, 2], f[:, 2]])
-            phi = jnp.zeros((len(sel),), dtype)
-            gx = jnp.zeros((len(sel),), dtype)
-            gy = jnp.zeros((len(sel),), dtype)
-            gz = jnp.zeros((len(sel),), dtype)
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    for dz in (0, 1):
-                        c = grid[i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz]
-                        phi = phi + c * wx[dx] * wy[dy] * wz[dz]
-                        gx = gx + c * (2 * dx - 1) * wy[dy] * wz[dz]
-                        gy = gy + c * wx[dx] * (2 * dy - 1) * wz[dz]
-                        gz = gz + c * wx[dx] * wy[dy] * (2 * dz - 1)
-            # out-of-grid queries: add the clamped excess so far samples
-            # rank as deeply-separated (they must never win the top-k)
-            excess = jnp.linalg.norm((u - uc), axis=-1) * spacing
-            phi_w = (phi + excess) * sb_
-            grad = jnp.stack([gx, gy, gz], axis=-1)
+            # value (incl. the out-of-grid excess that ranks far samples
+            # as deeply separated, so they never win the top-k cap) +
+            # analytic gradient at the selected position
+            phi, grad = _tri(u, with_grad=True)
+            phi_w = phi * sb_
             n_loc = grad / jnp.maximum(
                 jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
             n = quat_rotate(gq, n_loc)
@@ -646,10 +639,13 @@ def add_sdf_pairs(ps: PairSet, model: T.ArticulationModel, specs) -> PairSet:
         keep = spec.get("keep_fn")
         if keep is not None:
             mask = np.asarray(keep(pts), bool)
-            if mask.any():
-                kept = pts[mask]
-                reps = int(np.ceil(npts / len(kept)))
-                pts = np.tile(kept, (reps, 1))[:npts]
+            if not mask.any():
+                raise ValueError(
+                    f"keep_fn rejected all {npts} surface samples of "
+                    f"{spec['mesh_a']} — region predicate mis-sized?")
+            kept = pts[mask]
+            reps = int(np.ceil(npts / len(kept)))
+            pts = np.tile(kept, (reps, 1))[:npts]
         if spec.get("spacing"):
             sdf, origin, spacing = mesh_sdf_cropped(
                 spec["mesh_b"], spec.get("scale_b", 1.0),

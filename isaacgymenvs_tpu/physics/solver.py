@@ -274,9 +274,17 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         -depth / h)
     vn_pre = Jn @ qd_free
     # restitution: target normal velocity -e·v_n for impacts faster than
-    # the bounce threshold (PhysX bounce_threshold_velocity); only for
-    # touching rows — a speculative row must not bounce before contact
-    bounce = jnp.where((vn_pre < -sim.bounce_threshold) & (depth > 0.0),
+    # the bounce threshold (PhysX bounce_threshold_velocity). Touching
+    # rows always; SEPARATED (speculative) rows only when the approach
+    # covers the whole gap this substep — otherwise the speculative
+    # clamp would absorb the impact inelastically and the penetrating
+    # substep would see only ~gap/h of the original speed (silent
+    # restitution loss under contact_margin > 0). A slow approach that
+    # stays separated must not bounce early.
+    will_hit = depth > 0.0
+    if sim.contact_margin > 0.0:
+        will_hit = will_hit | (vn_pre * h < depth)  # closes the gap
+    bounce = jnp.where((vn_pre < -sim.bounce_threshold) & will_hit,
                        rest * vn_pre, 0.0)
     rows_J = [Jn, Jt1, Jt2]
     rows_b = [vn_pre + jnp.where(active, bias + bounce, 0.0),
@@ -366,12 +374,17 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # joint-limit compliance (MuJoCo solreflimit; default solref (0.02,1)
     # covers limit rows): knees pressed against their extension stop —
     # how every humanoid stands — get a stiff spring-damper instead of a
-    # rigid wall. Same scale-free cfm expression as contacts.
+    # rigid wall. Same scale-free cfm expression as contacts. JOINT
+    # limit rows only: tendon-range rows have their own ten_kp/ten_kd
+    # regularization above (MuJoCo's solreflimit likewise doesn't stack
+    # onto tendon limits).
     if nl and sim.limit_timeconst > 0.0:
         rl_ = h / sim.limit_timeconst
         denl = rl_ * rl_ + 2.0 * sim.limit_dampratio * rl_
-        cfm = cfm.at[3 * nc:3 * nc + nl].add(
-            dA_base[3 * nc:3 * nc + nl] / denl)
+        soft = dA_base[3 * nc:3 * nc + nl] / denl
+        if model.ntendon:
+            soft = jnp.where(jnp.asarray(lim_ten) >= 0, 0.0, soft)
+        cfm = cfm.at[3 * nc:3 * nc + nl].add(soft)
 
     def Amv(x):
         return J @ (MinvJT @ x) + cfm * x

@@ -53,8 +53,9 @@ static void mesh_free(mesh_t *m) { free(m->v); free(m->f); }
 static int mesh_push_v(mesh_t *m, const double p[3]) {
     if (m->nv == m->cap_v) {
         m->cap_v = m->cap_v ? m->cap_v * 2 : 1024;
-        m->v = realloc(m->v, m->cap_v * 3 * sizeof(double));
-        if (!m->v) return FM_ERR_ALLOC;
+        double *nv = realloc(m->v, m->cap_v * 3 * sizeof(double));
+        if (!nv) return FM_ERR_ALLOC;   /* old block stays owned by m */
+        m->v = nv;
     }
     memcpy(m->v + m->nv * 3, p, 3 * sizeof(double));
     m->nv++;
@@ -64,8 +65,9 @@ static int mesh_push_v(mesh_t *m, const double p[3]) {
 static int mesh_push_f(mesh_t *m, long a, long b, long c) {
     if (m->nf == m->cap_f) {
         m->cap_f = m->cap_f ? m->cap_f * 2 : 1024;
-        m->f = realloc(m->f, m->cap_f * 3 * sizeof(int32_t));
-        if (!m->f) return FM_ERR_ALLOC;
+        int32_t *nf = realloc(m->f, m->cap_f * 3 * sizeof(int32_t));
+        if (!nf) return FM_ERR_ALLOC;
+        m->f = nf;
     }
     m->f[m->nf * 3 + 0] = (int32_t)a;
     m->f[m->nf * 3 + 1] = (int32_t)b;
@@ -348,9 +350,17 @@ int fm_mesh_sdf_grid(const char *path, double scale, int nx, int ny, int nz,
                     double z = a[2] + u * (b[2]-a[2]) + v * (c[2]-a[2]);
                     long col = (long)ix * ny + iy;
                     if (zn[col] == zcap[col]) {
-                        zcap[col] = zcap[col] ? zcap[col] * 2 : 8;
-                        zc[col] = realloc(zc[col],
-                                          zcap[col] * sizeof(double));
+                        int ncap = zcap[col] ? zcap[col] * 2 : 8;
+                        double *nz = realloc(zc[col],
+                                             ncap * sizeof(double));
+                        if (!nz) {
+                            for (long q = 0; q < ncol; ++q) free(zc[q]);
+                            free(zc); free(zn); free(zcap); free(d);
+                            mesh_free(&m);
+                            return FM_ERR_ALLOC;
+                        }
+                        zc[col] = nz;
+                        zcap[col] = ncap;
                     }
                     zc[col][zn[col]++] = z;
                 }

@@ -12,6 +12,15 @@ import pytest
 from isaacgymenvs_tpu.io.sdf import mesh_sdf, mesh_surface_points
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache_dir(tmp_path, monkeypatch):
+    """Point the writable SDF cache at a per-test tmp dir: cooking
+    accuracy tests must exercise native/fastsdf.c every run, not a
+    stale ~/.cache hit. Vendored factory grids are still found (the
+    vendor dir stays in the lookup path after the env-var dir)."""
+    monkeypatch.setenv("ISAACGYMENVS_TPU_SDF_CACHE", str(tmp_path / "sdfc"))
+
+
 @pytest.fixture(scope="module")
 def cube_obj(tmp_path_factory):
     """Axis-aligned cube [-0.05, 0.05]^3 as a 12-triangle OBJ with
