@@ -145,6 +145,45 @@ class Trifinger(VecTask):
               for bn in robot.body_names
               if "lower" in bn or "middle" in bn or "tip" in bn]
         self.pair_contacts = build_pair_contacts(scene, body_pairs=bp)
+        # arena boundary (reference `high_table_boundary.urdf`, actor
+        # created at trifinger.py:561-563): cube corner/edge/face points
+        # vs an SDF of the real boundary ring mesh, carried by the
+        # world-fixed robot base — confines stray cubes to the arena.
+        # Skipped silently when neither the mesh nor a vendored grid
+        # cache is reachable (same fallback story as factory SDF).
+        if env.get("arena_boundary", True):
+            self._add_boundary_sdf(scene, cube)
+
+    def _add_boundary_sdf(self, scene, cube):
+        import warnings
+        from ..io.sdf import mesh_sdf_cropped
+        from ..physics.collide import add_sdf_pairs
+        from ..utils.assets import full_mesh_path
+        try:
+            mesh = full_mesh_path("trifinger/robot_properties_fingers/"
+                                  "meshes/high_table_boundary.stl")
+            spacing = 5.0e-3
+            mesh_sdf_cropped(mesh, 1.0, spacing)     # cook-or-cache now
+            h = CUBE_SIZE / 2
+            lin = (-h, 0.0, h)
+            pts = np.array([(x, y, z) for x in lin for y in lin
+                            for z in lin if (x, y, z) != (0, 0, 0)],
+                           np.float32)               # 26 surface points
+            gb_arr = np.asarray(scene.geom_body)
+            cube_geom = int(np.where(gb_arr == self.cube_body)[0][0])
+            base_geoms = np.where(gb_arr == 0)[0]
+            base_geom = int(base_geoms[0]) if len(base_geoms) \
+                else cube_geom
+            self.pair_contacts = add_sdf_pairs(
+                self.pair_contacts, scene, [{
+                    "body_a": self.cube_body, "geom_a": cube_geom,
+                    "pts_a": pts, "mesh_a": None,
+                    "body_b": 0, "geom_b": base_geom,  # world-fixed base
+                    "mesh_b": mesh, "spacing": spacing,
+                }])
+        except (RuntimeError, FileNotFoundError) as e:
+            warnings.warn(f"arena boundary SDF unavailable ({e}); "
+                          "stray cubes are unconfined")
 
     # ------------------------------------------------------------------- aux
     def _initial_aux(self):

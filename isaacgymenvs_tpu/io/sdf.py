@@ -94,9 +94,12 @@ def _cache_dirs() -> list:
 
 
 def _is_stub(mesh_path: str) -> bool:
+    # vendored placeholders: "# AABB stub of ..." (OBJ) / "solid
+    # aabbstub" (ASCII STL)
     try:
         with open(mesh_path, "r", errors="ignore") as f:
-            return "AABB stub" in f.read(256)
+            head = f.read(256)
+        return "AABB stub" in head or "aabbstub" in head
     except OSError:
         return True
 

@@ -597,6 +597,9 @@ def add_sdf_pairs(ps: PairSet, model: T.ArticulationModel, specs) -> PairSet:
     specs: iterable of dicts —
       body_a / geom_a : names; surface-sampled side (points)
       mesh_a          : OBJ/STL path sampled for contact points
+      pts_a           : explicit (n,3) body-frame sample points —
+                        replaces mesh_a sampling (primitive bodies,
+                        e.g. a cube's corners vs an arena boundary)
       body_b / geom_b : names; SDF-carrying side
       mesh_b          : OBJ/STL path voxelized to a signed distance grid
       scale_a/scale_b : mesh scale factors (default 1.0)
@@ -632,10 +635,14 @@ def add_sdf_pairs(ps: PairSet, model: T.ArticulationModel, specs) -> PairSet:
         bb = _bidx(spec["body_b"])
         ga = _gidx(spec["geom_a"])
         gb = _gidx(spec["geom_b"])
-        npts = int(spec.get("npts", 256))
-        pts, _nrm = mesh_surface_points(
-            spec["mesh_a"], spec.get("scale_a", 1.0), npts,
-            int(spec.get("seed", 0)))
+        if spec.get("pts_a") is not None:
+            pts = np.asarray(spec["pts_a"], np.float32)
+            npts = len(pts)
+        else:
+            npts = int(spec.get("npts", 256))
+            pts, _nrm = mesh_surface_points(
+                spec["mesh_a"], spec.get("scale_a", 1.0), npts,
+                int(spec.get("seed", 0)))
         keep = spec.get("keep_fn")
         if keep is not None:
             mask = np.asarray(keep(pts), bool)

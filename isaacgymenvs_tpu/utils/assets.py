@@ -60,7 +60,8 @@ def full_mesh_path(rel: str) -> str:
         try:
             with open(p, "r", errors="ignore") as f:
                 head = f.read(256)
-            if "AABB stub" in head:
+            # "# AABB stub of ..." (OBJ) / "solid aabbstub" (ASCII STL)
+            if "AABB stub" in head or "aabbstub" in head:
                 stub = stub or p
                 continue
         except OSError:

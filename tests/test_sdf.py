@@ -207,3 +207,45 @@ def test_round_peg_sdf_insert_and_block():
     z1 = qf[1, env.plug_q + 2] - th           # blocked: on the top face
     assert z0 < 0.003, z0
     assert z1 > hh - 0.003, z1
+
+
+def test_trifinger_arena_boundary_confines_cube():
+    """A cube flung outward at 4 m/s must be stopped by the arena
+    boundary SDF (reference high_table_boundary.urdf actor); without
+    the boundary it sails off the table. Works from a plain checkout:
+    the vendored grid cache matches the stub mesh by wildcard."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+
+    def fling(boundary):
+        c = load_task_config("Trifinger")
+        c.setdefault("env", {})["arena_boundary"] = boundary
+        env = isaacgymenvs_tpu.make(task="Trifinger", num_envs=2, cfg=c)
+        if boundary and env.pair_contacts.sdf_body is None:
+            pytest.skip("boundary mesh/cache unavailable")
+        state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        q = np.array(state.art.q)
+        qd = np.array(state.art.qd)
+        ang = np.deg2rad(60.0)          # between finger azimuths
+        q[:, env.cube_q:env.cube_q + 3] = [0.05 * np.cos(ang),
+                                           0.05 * np.sin(ang), 0.0325]
+        qd[:, env.cube_v:env.cube_v + 6] = 0
+        qd[:, env.cube_v + 0] = 4.0 * np.cos(ang)
+        qd[:, env.cube_v + 1] = 4.0 * np.sin(ang)
+        state = dataclasses.replace(state, art=dataclasses.replace(
+            state.art, q=jnp.asarray(q), qd=jnp.asarray(qd)))
+        stepf = jax.jit(env.step)
+        acts = jnp.zeros((2, env.num_acts))
+        rmax = 0.0
+        for _ in range(30):
+            state, _ts = stepf(state, acts)
+            qf = np.asarray(state.art.q)
+            rmax = max(rmax, float(np.hypot(qf[0, env.cube_q],
+                                            qf[0, env.cube_q + 1])))
+        return rmax
+
+    assert fling(True) < 0.24           # wall inner face ~0.205
+    assert fling(False) > 0.35          # control: really was escaping
