@@ -324,6 +324,12 @@ class SimParams:
     # difference dominates biped balance dynamics. 0.0 = hard rows.
     limit_timeconst: float = 0.0
     limit_dampratio: float = 1.0
+    # carry APGD impulses across substeps as the next solve's starting
+    # point (PhysX warm-starts contacts the same way): persistent
+    # contacts converge in far fewer sweeps, letting solver_iterations
+    # drop at equal solution quality. Off by default (changes iterate
+    # paths → trajectories; goldens pinned to cold starts).
+    warmstart_solver: bool = False
     # optional friction-row compliance with its OWN (stiffer) time
     # constant: micro-slip regularization for foot-rocking bipeds
     # without the gross stance creep of equal-softness friction.
@@ -376,6 +382,7 @@ class SimParams:
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
                      self.limit_timeconst, self.limit_dampratio,
+                     self.warmstart_solver,
                      self.friction_timeconst, self.freeze_mass_matrix,
                      self.max_contact_points, self.contact_margin,
                      self.max_depenetration_velocity, self.contact_stiffness,

@@ -129,17 +129,37 @@ def _qpos_dof(model, q):
     return q[st.dof_qpos_idx] * jnp.asarray(st.dof_is_1d, q.dtype)
 
 
+def constraint_row_count(model: T.ArticulationModel, sim: T.SimParams,
+                         contacts: ContactSet, pair_contacts=None,
+                         attractors=None) -> int:
+    """Static solver-row count (3 per post-cap contact candidate +
+    limit rows + 3 per attractor) — the shape of the impulse vector
+    `lam` for warm-start carries."""
+    nc = contacts.count + (pair_contacts.count if pair_contacts is not None
+                           else 0)
+    cap = int(getattr(sim, "max_contact_points", 0) or 0)
+    if cap:
+        nc = min(nc, cap)
+    nl = len(_limit_rows(model)[1])
+    na = attractors.count if attractors is not None else 0
+    return 3 * nc + nl + 3 * na
+
+
 def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
                       sim: T.SimParams, kin, contacts: ContactSet,
                       q, qd_free, Minv, h, height_fn=None,
-                      pair_geom=None, attractors=None):
+                      pair_geom=None, attractors=None, lam_init=None):
     """One velocity-level constraint solve.
 
     qd_free: unconstrained post-step velocity (after forces, before
     impulses). Minv: explicit inverse of the effective mass matrix
     (see physics/linalg.py). pair_geom: optional runtime
     body-pair narrowphase output from `collide.pair_contact_geometry`.
-    Returns (qd_new, body_contact_force (nb,3), body_contact_torque)."""
+    lam_init: optional warm-start impulses from the previous substep
+    (row ordering is static, so they correspond; re-projected onto the
+    current active set before iterating).
+    Returns (qd_new, body_contact_force (nb,3), body_contact_torque,
+    lam)."""
     from ..core.maths import quat_rotate
 
     nv, nb = model.nv, model.nbody
@@ -455,7 +475,15 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         theta_new = jnp.where(restart, 1.0, theta_new)
         return lam_new, y_new, theta_new
 
-    lam0 = jnp.zeros(J.shape[0], dtype)
+    if lam_init is not None:
+        # warm start from the previous substep's impulses (static row
+        # ordering ⇒ rows correspond; with a top-k contact cap the
+        # selected subset can shift between substeps, which only makes
+        # the initial guess worse, never the physics wrong). Re-project
+        # onto THIS substep's active set first.
+        lam0 = project(lam_init.astype(dtype))
+    else:
+        lam0 = jnp.zeros(J.shape[0], dtype)
     lam, _, _ = jax.lax.fori_loop(0, sim.solver_iterations, body,
                                   (lam0, lam0, jnp.asarray(1.0, dtype)))
 
@@ -484,4 +512,4 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     else:
         body_cf = jnp.zeros((nb, 3), dtype)
         body_ct = jnp.zeros((nb, 3), dtype)
-    return qd_new, body_cf, body_ct
+    return qd_new, body_cf, body_ct, lam

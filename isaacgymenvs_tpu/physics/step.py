@@ -169,11 +169,13 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
                                         h=h)
                   if pair_contacts is not None and pair_contacts.count
                   else None)
-            qd_new, body_cf, body_ct = solve_constraints(
+            qd_new, body_cf, body_ct, lam = solve_constraints(
                 model, params, sim, kin, contacts, q, qd_free, Minv, h,
-                height_fn, pair_geom=pg, attractors=attractors)
+                height_fn, pair_geom=pg, attractors=attractors,
+                lam_init=carry[6] if sim.warmstart_solver else None)
         else:
             qd_new = qd_free
+            lam = carry[6]
         # PhysX-style velocity clamps — bound runaway energy under extreme
         # actions exactly like max_angular_velocity does in the reference
         qd_new = jnp.clip(qd_new, -_vmax_vec(model, sim),
@@ -182,13 +184,18 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
         # carry the last substep's reporting products instead of stacking
         # them for every substep (only the final values feed StepInfo;
         # stacking burned HBM bandwidth for nothing)
-        return (q_new, qd_new, body_cf, body_ct, (qd_new - qd) / h, tau), None
+        return (q_new, qd_new, body_cf, body_ct, (qd_new - qd) / h, tau,
+                lam), None
 
     zero3 = jnp.zeros((model.nbody, 3), state.q.dtype)
     zerov = jnp.zeros((model.nv,), state.q.dtype)
-    (q, qd, cf, ct, qdd, tau), _ = jax.lax.scan(
-        substep, (state.q, state.qd, zero3, zero3, zerov, zerov), None,
-        length=nsub)
+    from .solver import constraint_row_count
+    lam0 = jnp.zeros((constraint_row_count(model, sim, contacts,
+                                           pair_contacts, attractors),),
+                     state.q.dtype)
+    (q, qd, cf, ct, qdd, tau, _lam), _ = jax.lax.scan(
+        substep, (state.q, state.qd, zero3, zero3, zerov, zerov, lam0),
+        None, length=nsub)
 
     kin = forward_kinematics(model, params, q, qd)
     info = StepInfo(kin=kin, body_contact_force=cf,
