@@ -57,10 +57,11 @@ def render_trajectory(npz_path: str, task: str, out: str = "",
     out = out or os.path.splitext(npz_path)[0] + (
         ".png" if keyframes else ".gif")
 
-    lo = pos.reshape(-1, 3).min(0) - 0.2
-    hi = pos.reshape(-1, 3).max(0) + 0.2
-    span = max(float((hi - lo).max()), 0.5)
-    mid = (lo + hi) / 2
+    # camera TRACKS the robot: span from the body's own extent (one
+    # frame), center follows the root — a humanoid sprinting 100 m
+    # would otherwise shrink to a dot inside whole-trajectory axes
+    ext = pos - pos[:, :1]
+    span = max(2.4 * float(np.abs(ext).max()), 0.5)
 
     def draw(ax, p):
         for b in range(1, len(parent)):
@@ -71,6 +72,7 @@ def render_trajectory(npz_path: str, task: str, out: str = "",
             ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "-o",
                     color="tab:blue", ms=2, lw=1.5)
         ax.scatter(*p[0], color="tab:red", s=30)  # root
+        mid = p[0]
         for i, axis in enumerate("xyz"):
             getattr(ax, f"set_{axis}lim")(mid[i] - span / 2,
                                           mid[i] + span / 2)
