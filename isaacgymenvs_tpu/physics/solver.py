@@ -171,7 +171,8 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     nl = len(lim_sign)
     na = attractors.count if attractors is not None else 0
     if nc == 0 and nl == 0 and na == 0:
-        return qd_free, jnp.zeros((nb, 3), dtype), jnp.zeros((nb, 3), dtype)
+        return (qd_free, jnp.zeros((nb, 3), dtype),
+                jnp.zeros((nb, 3), dtype), jnp.zeros((0,), dtype))
 
     S = kin.dof_S                                   # (nv,6)
     Dmat = jnp.asarray(_dof_body_mask(model))       # (nv,nb)
