@@ -22,8 +22,14 @@ GEAR_HEIGHT = 0.020
 # meshes' scale; the exact tooth profile is irrelevant to grasping)
 GEAR_DIAMS = {"small": 0.04, "medium": 0.06, "large": 0.08}
 SHAFT_DIAM = {"tight": 0.008, "loose": 0.0079}
-SHAFT_SPACING = 0.05  # two shafts on the base plate
+SHAFT_SPACING = 0.05  # two shafts on the primitive-fallback base plate
 SHAFT_HEIGHT = 0.025
+# the REAL base mesh's shaft columns (measured from the cooked SDF of
+# factory_gear_base_*_subdiv_4x.obj: three r≈4 mm posts on y=0), and
+# the authored in-base-frame centers of the gear meshes — the gear OBJ
+# coordinates live in the base frame with each gear already mounted
+# (factory_gear_small AABB x 0.0395..0.0615 ⇒ center +0.0505, etc.)
+REAL_SHAFT_X = {"large": -0.0305, "medium": 0.0200, "small": 0.0505}
 
 
 class FactoryEnvGears(FactoryBase):
@@ -36,6 +42,16 @@ class FactoryEnvGears(FactoryBase):
         self.gears_lateral_offset = env_cfg.get("gears_lateral_offset",
                                                 0.1)
         self.gears_density = env_cfg.get("gears_density", 1000.0)
+        # SDF mesh contact (reference docs/factory.md:95-128; the gear
+        # URDFs carry `<sdf resolution="256">` hints): small/medium gear
+        # surface samples vs an SDF of the real base mesh (plate + three
+        # shafts), plus small-gear samples vs an SDF of the medium gear
+        # for tooth meshing. The large gear stays a box: upstream ships
+        # factory_gear_large.urdf referencing a mesh that is NOT in the
+        # repo (only its .mtl exists), so the reference itself cannot
+        # load it either.
+        self.sdf_contact = env_cfg.get("sdf_contact", False)
+        self.sdf_samples = int(env_cfg.get("sdf_samples", 256))
         super().__init__(cfg, num_envs)
 
     def _gear_model(self, size):
@@ -51,7 +67,12 @@ class FactoryEnvGears(FactoryBase):
         sd = SHAFT_DIAM[self.tight_or_loose]
         geoms = [("box", (0.08, 0.05, GEAR_BASE_HEIGHT / 2),
                   (0, 0, GEAR_BASE_HEIGHT / 2))]
-        for sx in (-SHAFT_SPACING / 2, SHAFT_SPACING / 2):
+        # shaft posts where the REAL base mesh has them when SDF contact
+        # is on (the SDF gears must agree with the primitive large gear
+        # about shaft positions); legacy two-post layout otherwise
+        xs = (list(REAL_SHAFT_X.values()) if self.sdf_contact
+              else [-SHAFT_SPACING / 2, SHAFT_SPACING / 2])
+        for sx in xs:
             geoms.append(("box", (sd / 2, sd / 2, SHAFT_HEIGHT / 2),
                           (sx, 0, GEAR_BASE_HEIGHT + SHAFT_HEIGHT / 2)))
         xml = box_model_xml("base", (0.16, 0.1, GEAR_BASE_HEIGHT),
@@ -80,12 +101,80 @@ class FactoryEnvGears(FactoryBase):
         self.gear_q = {s: sl[f"gear_{s}"]["q"][0]
                        for s in ("small", "medium", "large")}
         self.base_q = sl["base"]["q"][0]
+        self.base_body = self.model.body_index("base/base")
+        self.base_geom = int(np.where(
+            np.asarray(self.model.geom_body) == self.base_body)[0][0])
 
+        use_sdf = self.sdf_contact and self._try_sdf_pairs() is not None
         bp = []
         for s in ("small", "medium", "large"):
             g = f"gear_{s}/gear_{s}"
             bp += [(g, "table/table"),
                    (g, "franka/panda_leftfinger"),
-                   (g, "franka/panda_rightfinger"),
-                   (g, "base/base")]
+                   (g, "franka/panda_rightfinger")]
+            # SDF gears interact with the base through the grid (their
+            # box geom vs the shaft boxes would block shaft mounting)
+            if not (use_sdf and s in ("small", "medium")):
+                bp.append((g, "base/base"))
         self.pair_contacts = build_pair_contacts(self.model, body_pairs=bp)
+        if use_sdf:
+            from ...physics.collide import add_sdf_pairs
+            self.pair_contacts = add_sdf_pairs(
+                self.pair_contacts, self.model, self._sdf_specs)
+
+    def _try_sdf_pairs(self):
+        """Cook gear/base meshes; None when only stubs are reachable and
+        no vendored grid cache exists."""
+        import warnings
+        from ...io.sdf import (mesh_sdf_cropped, mesh_surface_points)
+        from ...utils.assets import full_mesh_path
+        rel = "factory/mesh/factory_gears"
+        fit = self.tight_or_loose
+        try:
+            base_mesh = full_mesh_path(
+                f"{rel}/factory_gear_base_{fit}_space_5e-4_subdiv_4x.obj")
+            spacing = 5.0e-4          # resolves the r≈4 mm shafts + teeth
+            mesh_sdf_cropped(base_mesh, 1.0, spacing)
+            gb_arr = np.asarray(self.model.geom_body)
+            specs = []
+            gear_meshes = {}
+            for s in ("small", "medium"):
+                gm = full_mesh_path(
+                    f"{rel}/factory_gear_{s}_space_5e-4.obj")
+                gear_meshes[s] = gm
+                pts, _ = mesh_surface_points(gm, 1.0, self.sdf_samples, 0)
+                # authored in the BASE frame, mounted on its shaft —
+                # re-express in OUR gear frame (origin: bore axis,
+                # bottom face at z=0)
+                pts = pts - np.array(
+                    [REAL_SHAFT_X[s], 0.0, GEAR_BASE_HEIGHT], np.float32)
+                body = self.model.body_index(f"gear_{s}/gear_{s}")
+                geom = int(np.where(gb_arr == body)[0][0])
+                specs.append({
+                    "body_a": body, "geom_a": geom, "pts_a": pts,
+                    "mesh_a": None,
+                    "body_b": self.base_body, "geom_b": self.base_geom,
+                    "mesh_b": base_mesh, "spacing": spacing,
+                })
+            # tooth meshing: small-gear samples vs an SDF of the medium
+            # gear (grid authored in the base frame -> grid_pos shifts
+            # it into the medium gear's OWN frame)
+            mesh_sdf_cropped(gear_meshes["medium"], 1.0, spacing)
+            sb = self.model.body_index("gear_small/gear_small")
+            mb = self.model.body_index("gear_medium/gear_medium")
+            specs.append({
+                "body_a": sb,
+                "geom_a": int(np.where(gb_arr == sb)[0][0]),
+                "pts_a": specs[0]["pts_a"], "mesh_a": None,
+                "body_b": mb,
+                "geom_b": int(np.where(gb_arr == mb)[0][0]),
+                "mesh_b": gear_meshes["medium"], "spacing": spacing,
+                "grid_pos": (-REAL_SHAFT_X["medium"], 0.0,
+                             -GEAR_BASE_HEIGHT),
+            })
+            self._sdf_specs = specs
+            return specs
+        except (RuntimeError, FileNotFoundError) as e:
+            warnings.warn(f"SDF contact unavailable ({e}); "
+                          "falling back to primitive gears")
+            return None

@@ -249,3 +249,47 @@ def test_trifinger_arena_boundary_confines_cube():
 
     assert fling(True) < 0.24           # wall inner face ~0.205
     assert fling(False) > 0.35          # control: really was escaping
+
+
+def test_gear_rides_shaft_with_sdf():
+    """A medium gear pre-engaged on its shaft must STAY mounted (the
+    real mesh fit is ~0.01 mm — a friction press-fit): no ejection, no
+    falling off sideways, bore coaxial with the shaft. A box gear
+    overlapping a shaft post would be violently ejected. Works from a
+    plain checkout via the vendored grid caches."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.envs.factory.env_gears import (
+        GEAR_BASE_HEIGHT, REAL_SHAFT_X)
+
+    env = isaacgymenvs_tpu.make(task="FactoryTaskGears", num_envs=2)
+    if env.pair_contacts.sdf_body is None:
+        pytest.skip("gear meshes/caches unavailable")
+    th = env.table_height
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    q = np.array(state.art.q)
+    qd = np.array(state.art.qd)
+    base_xy = q[0, env.base_q:env.base_q + 2]
+    shaft_xy = base_xy + np.array([REAL_SHAFT_X["medium"], 0.0])
+    gq = env.gear_q["medium"]
+    q[:, gq:gq + 2] = shaft_xy
+    q[:, gq + 2] = th + 0.012          # mid-shaft engagement
+    q[:, gq + 3:gq + 7] = [1, 0, 0, 0]
+    vq = env.actor_slices["gear_medium"]["v"][0]
+    qd[:, vq:vq + 6] = 0
+    state = dataclasses.replace(state, art=dataclasses.replace(
+        state.art, q=jnp.asarray(q), qd=jnp.asarray(qd)))
+    stepf = jax.jit(env.step)
+    acts = jnp.zeros((2, env.num_acts))
+    for _ in range(40):
+        state, _ts = stepf(state, acts)
+    qf = np.asarray(state.art.q)
+    assert not np.isnan(qf).any()
+    z = qf[0, gq + 2] - th
+    drift = np.hypot(*(qf[0, gq:gq + 2] - shaft_xy))
+    # still mounted: on the shaft span, coaxial, upright
+    assert GEAR_BASE_HEIGHT - 0.002 < z < 0.022, z
+    assert drift < 0.002, drift
+    assert qf[0, gq + 3] > 0.99        # no tip-over
