@@ -258,4 +258,10 @@ class Runner:
             print(f"trajectory dumped to {path}")
         mean_r = float(np.mean(finished_r)) if finished_r else float("nan")
         print(f"play: {finished} episodes, mean reward {mean_r:.2f}")
+        # task-metric channel (reference ShadowHandTest eval prints
+        # consecutive-success averages, docs/rl_examples.md:161-173)
+        for k, v in (t.info or {}).items():
+            arr = np.asarray(v)
+            if arr.ndim <= 1:
+                print(f"play: {k} = {float(np.mean(arr)):.3f}")
         return mean_r
