@@ -52,7 +52,45 @@ class FactoryEnvGears(FactoryBase):
         # load it either.
         self.sdf_contact = env_cfg.get("sdf_contact", False)
         self.sdf_samples = int(env_cfg.get("sdf_samples", 256))
+        # cook/locate the grids BEFORE the scene is built: the base
+        # plate's shaft layout depends on whether SDF actually loads
+        # (flag-only gating would leave the primitive fallback facing
+        # shafts at mesh positions it was never designed for)
+        self._sdf_data = self._cook_sdf_assets() if self.sdf_contact \
+            else None
+        self.sdf_active = self._sdf_data is not None
         super().__init__(cfg, num_envs)
+
+    def _cook_sdf_assets(self):
+        """Cook or cache-hit every grid/sample set needed; None on any
+        failure (stub-only checkout without vendored caches)."""
+        import warnings
+        from ...io.sdf import mesh_sdf_cropped, mesh_surface_points
+        from ...utils.assets import full_mesh_path
+        rel = "factory/mesh/factory_gears"
+        fit = self.tight_or_loose
+        try:
+            base_mesh = full_mesh_path(
+                f"{rel}/factory_gear_base_{fit}_space_5e-4_subdiv_4x.obj")
+            spacing = 5.0e-4      # resolves the r≈5 mm shafts + teeth
+            mesh_sdf_cropped(base_mesh, 1.0, spacing)
+            data = {"base_mesh": base_mesh, "spacing": spacing,
+                    "pts": {}, "gear_mesh": {}}
+            for s in ("small", "medium"):
+                gm = full_mesh_path(f"{rel}/factory_gear_{s}_space_5e-4.obj")
+                pts, _ = mesh_surface_points(gm, 1.0, self.sdf_samples, 0)
+                data["gear_mesh"][s] = gm
+                # authored in the BASE frame, mounted on its shaft —
+                # re-express in OUR gear frame (origin: bore axis,
+                # bottom face at z=0)
+                data["pts"][s] = pts - np.array(
+                    [REAL_SHAFT_X[s], 0.0, GEAR_BASE_HEIGHT], np.float32)
+            mesh_sdf_cropped(data["gear_mesh"]["medium"], 1.0, spacing)
+            return data
+        except (RuntimeError, FileNotFoundError) as e:
+            warnings.warn(f"SDF contact unavailable ({e}); "
+                          "falling back to primitive gears")
+            return None
 
     def _gear_model(self, size):
         d = GEAR_DIAMS[size]
@@ -68,9 +106,10 @@ class FactoryEnvGears(FactoryBase):
         geoms = [("box", (0.08, 0.05, GEAR_BASE_HEIGHT / 2),
                   (0, 0, GEAR_BASE_HEIGHT / 2))]
         # shaft posts where the REAL base mesh has them when SDF contact
-        # is on (the SDF gears must agree with the primitive large gear
-        # about shaft positions); legacy two-post layout otherwise
-        xs = (list(REAL_SHAFT_X.values()) if self.sdf_contact
+        # actually LOADED (the SDF gears must agree with the primitive
+        # large gear about shaft positions); legacy two-post layout for
+        # the primitive fallback
+        xs = (list(REAL_SHAFT_X.values()) if self.sdf_active
               else [-SHAFT_SPACING / 2, SHAFT_SPACING / 2])
         for sx in xs:
             geoms.append(("box", (sd / 2, sd / 2, SHAFT_HEIGHT / 2),
@@ -105,7 +144,7 @@ class FactoryEnvGears(FactoryBase):
         self.base_geom = int(np.where(
             np.asarray(self.model.geom_body) == self.base_body)[0][0])
 
-        use_sdf = self.sdf_contact and self._try_sdf_pairs() is not None
+        use_sdf = self.sdf_active and self._try_sdf_pairs() is not None
         bp = []
         for s in ("small", "medium", "large"):
             g = f"gear_{s}/gear_{s}"
@@ -123,58 +162,36 @@ class FactoryEnvGears(FactoryBase):
                 self.pair_contacts, self.model, self._sdf_specs)
 
     def _try_sdf_pairs(self):
-        """Cook gear/base meshes; None when only stubs are reachable and
-        no vendored grid cache exists."""
-        import warnings
-        from ...io.sdf import (mesh_sdf_cropped, mesh_surface_points)
-        from ...utils.assets import full_mesh_path
-        rel = "factory/mesh/factory_gears"
-        fit = self.tight_or_loose
-        try:
-            base_mesh = full_mesh_path(
-                f"{rel}/factory_gear_base_{fit}_space_5e-4_subdiv_4x.obj")
-            spacing = 5.0e-4          # resolves the r≈4 mm shafts + teeth
-            mesh_sdf_cropped(base_mesh, 1.0, spacing)
-            gb_arr = np.asarray(self.model.geom_body)
-            specs = []
-            gear_meshes = {}
-            for s in ("small", "medium"):
-                gm = full_mesh_path(
-                    f"{rel}/factory_gear_{s}_space_5e-4.obj")
-                gear_meshes[s] = gm
-                pts, _ = mesh_surface_points(gm, 1.0, self.sdf_samples, 0)
-                # authored in the BASE frame, mounted on its shaft —
-                # re-express in OUR gear frame (origin: bore axis,
-                # bottom face at z=0)
-                pts = pts - np.array(
-                    [REAL_SHAFT_X[s], 0.0, GEAR_BASE_HEIGHT], np.float32)
-                body = self.model.body_index(f"gear_{s}/gear_{s}")
-                geom = int(np.where(gb_arr == body)[0][0])
-                specs.append({
-                    "body_a": body, "geom_a": geom, "pts_a": pts,
-                    "mesh_a": None,
-                    "body_b": self.base_body, "geom_b": self.base_geom,
-                    "mesh_b": base_mesh, "spacing": spacing,
-                })
-            # tooth meshing: small-gear samples vs an SDF of the medium
-            # gear (grid authored in the base frame -> grid_pos shifts
-            # it into the medium gear's OWN frame)
-            mesh_sdf_cropped(gear_meshes["medium"], 1.0, spacing)
-            sb = self.model.body_index("gear_small/gear_small")
-            mb = self.model.body_index("gear_medium/gear_medium")
-            specs.append({
-                "body_a": sb,
-                "geom_a": int(np.where(gb_arr == sb)[0][0]),
-                "pts_a": specs[0]["pts_a"], "mesh_a": None,
-                "body_b": mb,
-                "geom_b": int(np.where(gb_arr == mb)[0][0]),
-                "mesh_b": gear_meshes["medium"], "spacing": spacing,
-                "grid_pos": (-REAL_SHAFT_X["medium"], 0.0,
-                             -GEAR_BASE_HEIGHT),
-            })
-            self._sdf_specs = specs
-            return specs
-        except (RuntimeError, FileNotFoundError) as e:
-            warnings.warn(f"SDF contact unavailable ({e}); "
-                          "falling back to primitive gears")
+        """Build SDF pair specs from the grids/samples cooked at
+        __init__ time (cache hits here); None when cooking failed."""
+        if self._sdf_data is None:
             return None
+        d = self._sdf_data
+        gb_arr = np.asarray(self.model.geom_body)
+        specs = []
+        for s in ("small", "medium"):
+            body = self.model.body_index(f"gear_{s}/gear_{s}")
+            geom = int(np.where(gb_arr == body)[0][0])
+            specs.append({
+                "body_a": body, "geom_a": geom, "pts_a": d["pts"][s],
+                "mesh_a": None,
+                "body_b": self.base_body, "geom_b": self.base_geom,
+                "mesh_b": d["base_mesh"], "spacing": d["spacing"],
+            })
+        # tooth meshing: small-gear samples vs an SDF of the medium
+        # gear (grid authored in the base frame -> grid_pos shifts it
+        # into the medium gear's OWN frame)
+        sb = self.model.body_index("gear_small/gear_small")
+        mb = self.model.body_index("gear_medium/gear_medium")
+        specs.append({
+            "body_a": sb,
+            "geom_a": int(np.where(gb_arr == sb)[0][0]),
+            "pts_a": d["pts"]["small"], "mesh_a": None,
+            "body_b": mb,
+            "geom_b": int(np.where(gb_arr == mb)[0][0]),
+            "mesh_b": d["gear_mesh"]["medium"], "spacing": d["spacing"],
+            "grid_pos": (-REAL_SHAFT_X["medium"], 0.0,
+                         -GEAR_BASE_HEIGHT),
+        })
+        self._sdf_specs = specs
+        return specs

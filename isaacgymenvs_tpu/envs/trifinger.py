@@ -152,9 +152,9 @@ class Trifinger(VecTask):
         # Skipped silently when neither the mesh nor a vendored grid
         # cache is reachable (same fallback story as factory SDF).
         if env.get("arena_boundary", True):
-            self._add_boundary_sdf(scene, cube)
+            self._add_boundary_sdf(scene)
 
-    def _add_boundary_sdf(self, scene, cube):
+    def _add_boundary_sdf(self, scene):
         import warnings
         from ..io.sdf import mesh_sdf_cropped
         from ..physics.collide import add_sdf_pairs
@@ -172,8 +172,13 @@ class Trifinger(VecTask):
             gb_arr = np.asarray(scene.geom_body)
             cube_geom = int(np.where(gb_arr == self.cube_body)[0][0])
             base_geoms = np.where(gb_arr == 0)[0]
-            base_geom = int(base_geoms[0]) if len(base_geoms) \
-                else cube_geom
+            if not len(base_geoms):
+                # no material source for the wall: skip rather than
+                # silently sourcing friction from the cube's own geom
+                warnings.warn("robot base carries no geom — arena "
+                              "boundary SDF skipped")
+                return
+            base_geom = int(base_geoms[0])
             self.pair_contacts = add_sdf_pairs(
                 self.pair_contacts, scene, [{
                     "body_a": self.cube_body, "geom_a": cube_geom,

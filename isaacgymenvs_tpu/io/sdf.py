@@ -94,14 +94,8 @@ def _cache_dirs() -> list:
 
 
 def _is_stub(mesh_path: str) -> bool:
-    # vendored placeholders: "# AABB stub of ..." (OBJ) / "solid
-    # aabbstub" (ASCII STL)
-    try:
-        with open(mesh_path, "r", errors="ignore") as f:
-            head = f.read(256)
-        return "AABB stub" in head or "aabbstub" in head
-    except OSError:
-        return True
+    from ..utils.assets import is_stub_mesh
+    return is_stub_mesh(mesh_path)
 
 
 def _cache_name(mesh_path: str, tag: str, **params) -> str:

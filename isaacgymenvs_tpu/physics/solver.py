@@ -482,6 +482,10 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         # selected subset can shift between substeps, which only makes
         # the initial guess worse, never the physics wrong). Re-project
         # onto THIS substep's active set first.
+        assert lam_init.shape[0] == J.shape[0], (
+            f"warm-start impulse carry has {lam_init.shape[0]} rows but "
+            f"the solve has {J.shape[0]} — constraint_row_count() must "
+            "mirror this function's row layout (3·nc_capped + nl + 3·na)")
         lam0 = project(lam_init.astype(dtype))
     else:
         lam0 = jnp.zeros(J.shape[0], dtype)

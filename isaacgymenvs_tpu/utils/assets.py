@@ -44,6 +44,19 @@ def asset_path(rel: str) -> str:
         f"{_REPO_ASSETS}, or {_FALLBACK}")
 
 
+def is_stub_mesh(path: str) -> bool:
+    """True for vendored AABB placeholders: '# AABB stub of ...' (OBJ)
+    or 'solid aabbstub' (ASCII STL). Unreadable files count as stubs —
+    cooking from them can't work anyway. Single source of truth shared
+    with io/sdf's cache-key wildcarding."""
+    try:
+        with open(path, "r", errors="ignore") as f:
+            head = f.read(256)
+        return "AABB stub" in head or "aabbstub" in head
+    except OSError:
+        return True
+
+
 def full_mesh_path(rel: str) -> str:
     """Like asset_path, but skips vendored AABB-stub meshes (8 vertices,
     no faces) in favor of a later root with real triangles — used by SDF
@@ -57,15 +70,9 @@ def full_mesh_path(rel: str) -> str:
         p = os.path.join(root, rel)
         if not os.path.exists(p):
             continue
-        try:
-            with open(p, "r", errors="ignore") as f:
-                head = f.read(256)
-            # "# AABB stub of ..." (OBJ) / "solid aabbstub" (ASCII STL)
-            if "AABB stub" in head or "aabbstub" in head:
-                stub = stub or p
-                continue
-        except OSError:
-            pass
+        if is_stub_mesh(p):
+            stub = stub or p
+            continue
         return p
     if stub:
         return stub
