@@ -29,7 +29,8 @@ import isaacgymenvs_tpu
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 # (task, num_envs, steps) — small batches keep the files tiny
-CASES = [("Cartpole", 8, 100), ("Ant", 4, 100), ("BallBalance", 4, 100)]
+CASES = [("Cartpole", 8, 100), ("Ant", 4, 100), ("BallBalance", 4, 100),
+         ("Humanoid", 4, 60)]  # pins the compliant-limit knee physics
 
 
 def _rollout(task, num_envs, steps, jit=True, shard=False):
