@@ -36,6 +36,24 @@ def add_actuators(model: T.ArticulationModel, joint_names,
     )
 
 
+def box_model_xml(name, size, density=1000.0, free=True, geoms=None):
+    """Tiny MJCF for a primitive actor (the TPU analogue of the
+    reference's procedural asset authoring, `tasks/ball_balance.py:135`).
+    `geoms`: list of (type, size3, pos3) overriding the single centered
+    box; `size` is the full extent of that default box."""
+    joint = f'<joint type="free" name="{name}_free"/>' if free else ""
+    if geoms is None:
+        geoms = [("box", (size[0] / 2, size[1] / 2, size[2] / 2),
+                  (0, 0, 0))]
+    gx = "".join(
+        f'<geom type="{t}" size="{s[0]} {s[1]} {s[2]}" '
+        f'pos="{p[0]} {p[1]} {p[2]}" density="{density}"/>'
+        for t, s, p in geoms)
+    return (f'<mujoco model="{name}"><compiler inertiafromgeom="true"/>'
+            f'<worldbody><body name="{name}">{joint}{gx}</body>'
+            f'</worldbody></mujoco>')
+
+
 def hinge_joint_names(model: T.ArticulationModel) -> list:
     """Names of all 1-dof (hinge/slide) joints in tree order."""
     return [model.jnt_names[ji] for ji in range(model.njnt)

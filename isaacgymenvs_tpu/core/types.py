@@ -375,6 +375,14 @@ class SimParams:
     # e.g. tasks/humanoid.py:158: 100 rad/s; PhysX default 64)
     max_angular_velocity: float = 64.0
     max_linear_velocity: float = 1000.0
+    # optional material geom for the ground plane: when >= 0, ground
+    # contact friction combines (average, PhysX default mode) the moving
+    # geom's friction with this geom's — so a scene's table/floor actor
+    # (reference: Trifinger stage actor, trifinger.py:561) is a live DR
+    # target (`table.rigid_shape_properties.friction`) instead of the
+    # plane being material-less. -1 = plane contributes no material and
+    # mu comes from the moving geom alone (round-1/2 behavior).
+    ground_material_geom: int = -1
 
     def __hash__(self):
         return hash((self.dt, self.substeps, self.gravity, self.solver,
@@ -388,7 +396,8 @@ class SimParams:
                      self.max_depenetration_velocity, self.contact_stiffness,
                      self.contact_damping_ratio, self.friction_regularization,
                      self.limit_stiffness, self.limit_damping_ratio,
-                     self.max_angular_velocity, self.max_linear_velocity))
+                     self.max_angular_velocity, self.max_linear_velocity,
+                     self.ground_material_geom))
 
 
 @jax.tree_util.register_dataclass

@@ -136,12 +136,20 @@ class DomainRandomizer:
             kind = _FIELD_AXIS[field]
             if model is None or not slices:
                 return None  # single-actor model / noise-only DR: whole model
-            if actor not in slices or kind not in slices[actor]:
-                # composed scene but unknown actor (or legacy slices):
-                # apply to NOTHING rather than silently to everything
+            if actor not in slices:
+                # config names an actor the scene doesn't build: a task
+                # YAML / scene mismatch would silently drop the spec —
+                # hard error so it can't rot unnoticed (the reference
+                # would KeyError in get_actor_params_info the same way)
+                raise ValueError(
+                    f"DR actor {actor!r} not in scene actors "
+                    f"{sorted(slices)} — task config and scene disagree")
+            if kind not in slices[actor]:
+                # actor exists but has no entities of this kind (e.g.
+                # tendon DR on a tendon-less robot): inert by nature
                 import warnings
-                warnings.warn(f"DR actor {actor!r} not in scene actors "
-                              f"{sorted(slices)} — spec ignored")
+                warnings.warn(f"DR actor {actor!r} has no {kind!r} axis "
+                              "— spec ignored")
                 sizes = {"body": model.nbody, "v": model.nv,
                          "geom": model.ngeom, "ten": model.ntendon}
                 return np.zeros(sizes[kind], bool)

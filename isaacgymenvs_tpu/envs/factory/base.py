@@ -61,20 +61,8 @@ _FRANKA_EFFORT = np.array([87, 87, 87, 87, 12, 12, 12, 100, 100],
                           np.float32)
 
 
-def box_model_xml(name, size, density=1000.0, free=True, geoms=None):
-    """Tiny MJCF for a primitive actor. `geoms`: list of
-    (type, size3, pos3) overriding the single centered box."""
-    joint = f'<joint type="free" name="{name}_free"/>' if free else ""
-    if geoms is None:
-        geoms = [("box", (size[0] / 2, size[1] / 2, size[2] / 2),
-                  (0, 0, 0))]
-    gx = "".join(
-        f'<geom type="{t}" size="{s[0]} {s[1]} {s[2]}" '
-        f'pos="{p[0]} {p[1]} {p[2]}" density="{density}"/>'
-        for t, s, p in geoms)
-    return (f'<mujoco model="{name}"><compiler inertiafromgeom="true"/>'
-            f'<worldbody><body name="{name}">{joint}{gx}</body>'
-            f'</worldbody></mujoco>')
+# re-exported for back-compat; lives with the other model-authoring helpers
+from ...core.modeling import box_model_xml  # noqa: E402,F401
 
 
 class FactoryBase(VecTask):

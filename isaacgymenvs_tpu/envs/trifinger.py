@@ -14,8 +14,9 @@ Parity with reference `tasks/trifinger.py` (1513 LoC):
     (`compute_trifinger_reward` `:1294-1387`);
   * goal difficulty levels 1-4 (`_sample_object_goal_poses` `:928-990`);
   * random object spawn on the arena with yaw orientation (`:882-925`).
-The arena table/boundary URDFs are replaced by the ground plane at z=0
-(documented approximation — the boundary only confines stray cubes).
+The stage surface is the ground plane at z=0 with a world-fixed `table`
+actor as its material (so `table` friction DR is live); the boundary
+ring URDF becomes an SDF carried by that actor, confining stray cubes.
 Config `cfg/task/Trifinger.yaml`.
 """
 
@@ -104,9 +105,21 @@ class Trifinger(VecTask):
 
         robot = load_urdf(_ROBOT, fix_base=True, collapse_fixed_joints=True)
         cube = load_urdf(_CUBE, fix_base=False)
+        # stage/table actor (reference table_without_border.urdf actor,
+        # trifinger.py:555-560): world-fixed, top surface at z=0. Its
+        # geom is (a) the material source the ground-plane rows combine
+        # with (SimParams.ground_material_geom) — making the DR tree's
+        # `table` friction spec physically live — and (b) the carrier
+        # of the arena-boundary SDF.
+        from ..core.modeling import box_model_xml
+        from ..io.mjcf import load_mjcf
+        table = load_mjcf(box_model_xml(
+            "table", (2 * ARENA_RADIUS + 0.21, 2 * ARENA_RADIUS + 0.21,
+                      0.02), free=False))
         scene = compose_models([
             ("robot", robot, [0, 0, 0]),
             ("object", cube, [0, 0, CUBE_SIZE / 2]),
+            ("table", table, [0, 0, -0.01]),
         ])
         sl = scene.actor_slices
         self.model = scene
@@ -115,6 +128,12 @@ class Trifinger(VecTask):
         self.tip_bodies = np.array(
             [scene.body_index(f"robot/{t}") for t in _TIPS])
         self.cube_body = scene.body_index(f"object/{cube.body_names[0]}")
+        self.table_body = scene.body_index("table/table")
+        self.table_geom = int(sl["table"]["geom"][0])
+        # ground rows take their second material from the table geom
+        import dataclasses as _dc
+        self.sim = _dc.replace(self.sim,
+                               ground_material_geom=self.table_geom)
 
         init_q = np.array(scene.init_qpos)
         init_q[:9] = _Q_DEFAULT
@@ -171,20 +190,18 @@ class Trifinger(VecTask):
                            np.float32)               # 26 surface points
             gb_arr = np.asarray(scene.geom_body)
             cube_geom = int(np.where(gb_arr == self.cube_body)[0][0])
-            base_geoms = np.where(gb_arr == 0)[0]
-            if not len(base_geoms):
-                # no material source for the wall: skip rather than
-                # silently sourcing friction from the cube's own geom
-                warnings.warn("robot base carries no geom — arena "
-                              "boundary SDF skipped")
-                return
-            base_geom = int(base_geoms[0])
+            # carried by the world-fixed table actor, whose geom is the
+            # wall's friction/restitution source (the reference boundary
+            # is likewise a separate static actor, trifinger.py:561-563)
             self.pair_contacts = add_sdf_pairs(
                 self.pair_contacts, scene, [{
                     "body_a": self.cube_body, "geom_a": cube_geom,
                     "pts_a": pts, "mesh_a": None,
-                    "body_b": 0, "geom_b": base_geom,  # world-fixed base
+                    "body_b": self.table_body, "geom_b": self.table_geom,
                     "mesh_b": mesh, "spacing": spacing,
+                    # the table body sits at z=-0.01; the boundary mesh
+                    # is authored about z=0
+                    "grid_pos": (0.0, 0.0, 0.01),
                 }])
         except (RuntimeError, FileNotFoundError) as e:
             warnings.warn(f"arena boundary SDF unavailable ({e}); "

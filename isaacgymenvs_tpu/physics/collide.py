@@ -690,7 +690,13 @@ def add_sdf_pairs(ps: PairSet, model: T.ArticulationModel, specs) -> PairSet:
 
 @functools.lru_cache(maxsize=None)
 def build_ground_contacts(model: T.ArticulationModel) -> ContactSet:
-    """Enumerate candidate points of all body geoms vs the ground."""
+    """Enumerate candidate points of all body geoms vs the ground.
+
+    Bodies rigidly fixed to the world (no joint anywhere on their
+    ancestor chain — fixed-base roots, static table/stage actors) are
+    skipped: their dof-mask column is all-zero so a ground row on them
+    can never move anything, but it would still occupy solver rows and
+    compete for the max_contact_points cap."""
     bodies, offsets, radii, geoms = [], [], [], []
 
     def _quat_rotate_np(q, v):
@@ -699,10 +705,19 @@ def build_ground_contacts(model: T.ArticulationModel) -> ContactSet:
         t = 2.0 * np.cross(qv, v)
         return v + w * t + np.cross(qv, t)
 
+    parent = np.asarray(model.body_parent)
+    jnt_body = np.asarray(model.jnt_body)
+    dynamic = np.zeros(model.nbody, bool)
+    for b in range(model.nbody):  # topological order: parents first
+        dynamic[b] = (jnt_body == b).any() or \
+            (parent[b] >= 0 and dynamic[parent[b]])
+
     for g in range(model.ngeom):
         b = int(model.geom_body[g])
         if b < 0:
             continue  # static world geom
+        if not dynamic[b]:
+            continue  # world-fixed body: ground rows would be inert
         gt = int(model.geom_type[g])
         gpos, gquat = model.geom_pos[g], model.geom_quat[g]
         size = model.geom_size[g]
@@ -792,6 +807,9 @@ def ground_contact_forces(model: T.ArticulationModel, params: T.PhysParams,
     # regularized Coulomb friction
     # ft = -mu*fn * vt/|vt| * min(1, |vt|/v_reg)
     mu = params.geom_friction.astype(dtype)[jnp.asarray(contacts.geom)]
+    gmat = int(getattr(sim, "ground_material_geom", -1))
+    if gmat >= 0:  # plane material combine (average, PhysX default)
+        mu = 0.5 * (mu + params.geom_friction.astype(dtype)[gmat])
     vt_norm = jnp.linalg.norm(vt, axis=-1)
     ft_mag = mu * fn * jnp.minimum(vt_norm / sim.friction_regularization, 1.0)
     ft = -ft_mag[..., None] * vt / jnp.maximum(vt_norm, 1e-6)[..., None]

@@ -210,7 +210,13 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         depth_g = rad + ground_h - p[:, 2]
         cpt_g = p - n_g * rad[:, None]
         ns.append(n_g); cpts.append(cpt_g); depths.append(depth_g)
-        mus.append(params.geom_friction.astype(dtype)[g_idx])
+        gmu = params.geom_friction.astype(dtype)[g_idx]
+        gmat = int(getattr(sim, "ground_material_geom", -1))
+        if gmat >= 0:
+            # plane carries a material geom (scene floor/table actor):
+            # average combine, PhysX default mode
+            gmu = 0.5 * (gmu + params.geom_friction.astype(dtype)[gmat])
+        mus.append(gmu)
         # vs the rigid plane (restitution 0): average combine (PhysX
         # default) -> e/2
         rests.append(0.5 * params.geom_restitution.astype(dtype)[g_idx]

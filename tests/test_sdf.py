@@ -225,7 +225,17 @@ def test_trifinger_arena_boundary_confines_cube():
         c.setdefault("env", {})["arena_boundary"] = boundary
         env = isaacgymenvs_tpu.make(task="Trifinger", num_envs=2, cfg=c)
         if boundary and env.pair_contacts.sdf_body is None:
-            pytest.skip("boundary mesh/cache unavailable")
+            # only a genuinely missing mesh/cache may skip; any other
+            # cause of a missing boundary is a product-path regression
+            from isaacgymenvs_tpu.utils.assets import full_mesh_path
+            try:
+                full_mesh_path("trifinger/robot_properties_fingers/"
+                               "meshes/high_table_boundary.stl")
+            except (RuntimeError, FileNotFoundError):
+                pytest.skip("boundary mesh/cache unavailable")
+            pytest.fail("boundary mesh/cache present but the arena "
+                        "boundary SDF was not attached — product path "
+                        "silently degraded")
         state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
         q = np.array(state.art.q)
         qd = np.array(state.art.qd)
