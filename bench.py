@@ -48,9 +48,40 @@ def bench_task(task: str, num_envs: int = 4096, chunk: int = 20,
     return iters * chunk * num_envs / dt
 
 
+def bench_train_epoch(task: str, num_envs: int = 4096,
+                      iters: int = 10) -> float:
+    """Full PPO rollout+update fps — the number a `train.py task=Ant`
+    user actually gets (reference fps_total, common_agent.py:147-152),
+    vs bench_task's pure random-action stepping fps."""
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import (load_task_config,
+                                               load_train_config)
+    from isaacgymenvs_tpu.learn.runner import Runner
+
+    env = isaacgymenvs_tpu.make(task=task, num_envs=num_envs,
+                                cfg=load_task_config(task))
+    runner = Runner(env, load_train_config(f"{task}PPO"),
+                    logdir="/tmp/bench_train")
+    agent = runner.agent
+    ts = agent.init()
+    ts, m = agent.epoch_fn(ts)  # compile
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, m = agent.epoch_fn(ts)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return iters * agent.cfg.horizon_length * num_envs / dt
+
+
 def main():
     ant = bench_task("Ant")
     hum = bench_task("Humanoid")
+    try:
+        ant_train = bench_train_epoch("Ant")
+    except Exception as e:  # train-mode bench must never mask the headline
+        print(f"train-epoch bench failed: {e}", file=sys.stderr)
+        ant_train = 0.0
     print(json.dumps({
         "metric": "ant4096_env_steps_per_sec",
         "value": round(ant),
@@ -58,6 +89,8 @@ def main():
         "vs_baseline": round(ant / BASELINE["Ant"], 3),
         "humanoid4096_env_steps_per_sec": round(hum),
         "humanoid_vs_baseline": round(hum / BASELINE["Humanoid"], 3),
+        "ant4096_train_epoch_fps": round(ant_train),
+        "train_vs_step_ratio": round(ant_train / ant, 3) if ant else 0.0,
     }))
 
 

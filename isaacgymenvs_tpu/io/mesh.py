@@ -31,13 +31,14 @@ def _load_fastmesh():
         return _fastmesh
     _fastmesh_tried = True
     so = os.path.join(_NATIVE_DIR, "libfastmesh.so")
-    if not os.path.exists(so) and os.path.exists(
-            os.path.join(_NATIVE_DIR, "Makefile")):
+    if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        # always invoke make (no-op when up to date): binaries are NOT
+        # committed, and a stale build must never shadow a source edit
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=60)
         except Exception:
-            return None
+            pass  # fall through: a prebuilt .so may still be loadable
     if not os.path.exists(so):
         return None
     try:

@@ -34,14 +34,16 @@ def _load():
         return _lib
     _lib_tried = True
     so = os.path.join(_NATIVE_DIR, "libfastsdf.so")
-    if not os.path.exists(so) and os.path.exists(
-            os.path.join(_NATIVE_DIR, "Makefile")):
+    if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        # always invoke make (a no-op when the .so is newer than the .c):
+        # the binaries are NOT committed, and an existing stale build must
+        # never shadow a source edit
         import subprocess
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            pass  # fall through: a prebuilt .so may still be loadable
     if not os.path.exists(so):
         return None
     try:

@@ -109,7 +109,9 @@ class PPOConfig:
                 cv_kwargs.update(
                     cv_rnn_units=int(cv_rnn.get("units", 1024)),
                     cv_rnn_layers=int(cv_rnn.get("layers", 1)),
-                    cv_rnn_before_mlp=bool(cv_rnn.get("before_mlp", True)),
+                    # default False = rl_games NetworkBuilder default
+                    # (matches the policy-rnn parser below)
+                    cv_rnn_before_mlp=bool(cv_rnn.get("before_mlp", False)),
                     cv_rnn_layer_norm=bool(cv_rnn.get("layer_norm", True)))
         rnn = net.get("rnn")
         if rnn and rnn.get("name", "lstm") == "lstm":

@@ -160,6 +160,10 @@ class Runner:
         t_start = time.time()
         ep_r_acc = ep_n_acc = ep_l_acc = 0.0
         ep_rew = 0.0
+        # best-ckpt gating must wait for REAL episode data: ep_rew's 0.0
+        # placeholder would otherwise be saved as "best" and, for tasks
+        # whose true reward is persistently negative, never beaten
+        any_episode = False
         for e in range(int(ts.epoch), self.cfg.max_epochs):
             t0 = time.time()
             ts, m = self.agent.epoch_fn(ts)
@@ -177,6 +181,7 @@ class Runner:
             # gating (below) isn't starved right after each print
             if ep_n_acc > 0:
                 ep_rew = ep_r_acc / ep_n_acc
+                any_episode = True
             scalars = {f"train/{k}": v for k, v in m.items()
                        if not k.startswith("episode_")}
             scalars.update({
@@ -199,7 +204,7 @@ class Runner:
             if self.save_freq and e and e % self.save_freq == 0:
                 save_checkpoint(os.path.join(nn_dir, "last.ckpt"), ts,
                                 {"epoch": e, "reward": ep_rew})
-            if e >= self.save_best_after and ep_rew > best:
+            if any_episode and e >= self.save_best_after and ep_rew > best:
                 best = ep_rew
                 save_checkpoint(os.path.join(nn_dir, "best.ckpt"), ts,
                                 {"epoch": e, "reward": ep_rew})

@@ -33,19 +33,32 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+# TrainState subtrees that are never env-batched: network/optimizer
+# tensors whose first axis COINCIDENTALLY equals num_envs (e.g. a Dense
+# kernel with units == num_envs) must not be laid out along the env axis
+# — still correct under GSPMD, but it forces collectives in every matmul.
+REPLICATED_SUBTREES = frozenset(
+    {"params", "cv_params", "opt_state", "lr", "epoch", "key"})
+
+
 def shard_batched(tree, mesh: Mesh, batch_size: int, axis: str = ENV_AXIS):
-    """Place every leaf whose leading dim == batch_size on the env axis;
-    replicate everything else (params, optimizer, normalizers, scalars)."""
+    """Place every env-batched leaf (leading dim == batch_size, outside the
+    known param/optimizer subtrees) on the env axis; replicate everything
+    else (params, optimizer, normalizers, scalars)."""
     env_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def place(x):
-        if (hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
+    def place(path, x):
+        head = path[0] if path else None
+        name = getattr(head, "name",
+                       getattr(head, "key", getattr(head, "idx", None)))
+        if (name not in REPLICATED_SUBTREES
+                and hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
                 and x.shape[0] == batch_size):
             return jax.device_put(x, env_sharding)
         return jax.device_put(x, repl)
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def auto_shard(tree, batch_size: int, n_devices: Optional[int] = None):
