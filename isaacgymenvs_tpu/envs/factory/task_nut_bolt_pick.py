@@ -183,14 +183,21 @@ class FactoryTaskNutBoltPick(FactoryEnvNutBolt):
             return a
 
         def lift_one(art, params):
+            # FIXED lift target = start pose + 0.3 z, held for the whole
+            # tail. The reference's `_lift_gripper` loop reapplies its
+            # delta against a STALE fingertip pose (tensors are not
+            # refreshed between `gym.simulate` calls,
+            # factory_task_nut_bolt_pick.py:366-376), so its target is
+            # likewise fixed; recomputing current+0.3 each step makes a
+            # runaway integrator that flails the arm through 7.5 m of
+            # commanded travel.
+            from ...physics.kinematics import forward_kinematics
+            kin = forward_kinematics(self.model, params, art.q, art.qd)
+            ft_pos, ft_quat, _, _ = self._fingertip_state(kin)
+            tgt = ft_pos + jnp.array([0.0, 0.0, 0.3])
+
             def body(a, _):
-                from ...physics.kinematics import forward_kinematics
-                kin = forward_kinematics(self.model, params, a.q, a.qd)
-                ft_pos, ft_quat, _, _ = self._fingertip_state(kin)
-                a2, inf = self._sim_one(
-                    a, params, ft_pos + jnp.array([0.0, 0.0, 0.3]),
-                    ft_quat, 0.0)
-                return a2, inf
+                return self._sim_one(a, params, tgt, ft_quat, 0.0)
             a, _ = jax.lax.scan(body, art, None,
                                 length=self.num_gripper_lift_steps)
             return a
@@ -247,6 +254,6 @@ class FactoryTaskNutBoltPick(FactoryEnvNutBolt):
         success = jax.vmap(self._lift_success)(state.art.q)
         rew = rew + jnp.where(is_last, success * self.success_bonus, 0.0)
         done = is_last
-        return rew, done, {"successes": jnp.sum(
-            jnp.where(is_last, success, 0.0)) / jnp.maximum(
-                jnp.sum(is_last.astype(jnp.float32)), 1.0)}
+        # "final/" = done-gated episode-outcome metric (see learn/ppo.py):
+        # the learner averages it over episodes, not rollout steps
+        return rew, done, {"final/successes": success}

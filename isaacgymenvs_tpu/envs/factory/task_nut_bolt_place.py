@@ -185,6 +185,5 @@ class FactoryTaskNutBoltPlace(FactoryEnvNutBolt):
         is_last = state.progress >= self.max_episode_length - 1
         success = (kdist < self.close_error_thresh).astype(jnp.float32)
         rew = rew + jnp.where(is_last, success * self.success_bonus, 0.0)
-        return rew, is_last, {"successes": jnp.sum(
-            jnp.where(is_last, success, 0.0)) / jnp.maximum(
-                jnp.sum(is_last.astype(jnp.float32)), 1.0)}
+        # done-gated episode-outcome metric (see learn/ppo.py)
+        return rew, is_last, {"final/successes": success}

@@ -220,7 +220,5 @@ class FactoryTaskNutBoltScrew(FactoryEnvNutBolt):
             * self.action_penalty_scale \
             + success.astype(jnp.float32) * self.success_bonus
         done = success | failure
-        n_done = jnp.maximum(jnp.sum(done.astype(jnp.float32)), 1.0)
-        return rew, done, {
-            "successes": jnp.sum(jnp.where(done, success, False)
-                                 .astype(jnp.float32)) / n_done}
+        # done-gated episode-outcome metric (see learn/ppo.py)
+        return rew, done, {"final/successes": success.astype(jnp.float32)}

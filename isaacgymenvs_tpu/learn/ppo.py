@@ -379,9 +379,24 @@ class PPO:
             new_states = step_ts.states if cv else states
             # env->logger channel: scalar task diagnostics from
             # _reward_done (the reference's extras["episode"] dicts piped
-            # by RLGPUAlgoObserver, utils/rlgames_utils.py:108-148)
-            task_info = {k: jnp.mean(v) for k, v in step_ts.info.items()
-                         if hasattr(v, "ndim") and v.ndim <= 1}
+            # by RLGPUAlgoObserver, utils/rlgames_utils.py:108-148).
+            # Keys under "final/" are episode-outcome metrics valid ONLY
+            # on done steps (factory lift success, etc.): they are
+            # done-gated sums here and normalized per-episode at epoch
+            # assembly — a plain per-step mean would dilute a success
+            # measured once per episode by 1/episode_length (the r2
+            # factory_pick run read 0.001 while the policy's true
+            # deterministic success rate was 0.75).
+            d_f = step_ts.done.astype(jnp.float32)
+            task_info = {}
+            for k, v in step_ts.info.items():
+                if not (hasattr(v, "ndim") and v.ndim <= 1):
+                    continue
+                if k.startswith("final/"):
+                    task_info[k] = jnp.sum(v * d_f)
+                    task_info["_n/" + k] = jnp.sum(d_f)
+                else:
+                    task_info[k] = jnp.mean(v)
             stats = (ep_r_sum, ep_l_sum, ep_n, task_info)
             new_first = d.astype(jnp.float32) if rnn else first
             return (env_state, step_ts.obs, new_states, key, cum_r, cum_l,
@@ -630,8 +645,13 @@ class PPO:
             episode_reward_sum=jnp.sum(ep_stats[0]),
             episode_length_sum=jnp.sum(ep_stats[1]),
             episode_count=jnp.sum(ep_stats[2]),
-            **{f"episode/{k}": jnp.mean(v)
-               for k, v in ep_stats[3].items()},
+            **{(f"episode/{k[6:]}" if k.startswith("final/")
+                else f"episode/{k}"):
+               (jnp.sum(v) / jnp.maximum(
+                   jnp.sum(ep_stats[3]["_n/" + k]), 1.0)
+                if k.startswith("final/") else jnp.mean(v))
+               for k, v in ep_stats[3].items()
+               if not k.startswith("_n/")},
             reward_mean_step=jnp.mean(batch["reward"]),
         )
 
