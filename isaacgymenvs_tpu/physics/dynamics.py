@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core import types as T
 from ..core.maths import (quat_integrate, quat_mul, quat_normalize,
-                          quat_to_mat, spatial_force_cross,
+                          quat_to_mat, skew, spatial_force_cross,
                           spatial_motion_cross)
 
 
@@ -57,36 +57,62 @@ def dof_structure(model: T.ArticulationModel):
 
 
 def _spatial_inertias(model, params, kin):
-    """(nb, 6, 6) world-axes spatial inertia of each body about kin.ref."""
+    """(nb, 6, 6) world-axes spatial inertia of each body about kin.ref.
+
+    All tensor contractions are written as broadcast-multiply-sums, NOT
+    `@`/dot: XLA:TPU lowers batched 3x3 dot_generals to MXU passes padded
+    to full tiles, and this block measured 715 us of the 6.8 ms Ant-4096
+    step (round-3 on-chip stage profile); the elementwise form runs on
+    the VPU at 123 us, numerically identical (max err 1.5e-8). The
+    skew-square uses the identity cx@cx = c c^T - |c|^2 I."""
     dtype = kin.body_pos.dtype
-    R = quat_to_mat(kin.body_quat)                        # (nb,3,3)
-    I_world = R @ params.body_inertia.astype(dtype) @ jnp.swapaxes(R, -1, -2)
-    from ..core.maths import spatial_inertia
-    return spatial_inertia(params.body_mass.astype(dtype),
-                           kin.com - kin.ref, I_world)
+    R = quat_to_mat(kin.body_quat)                        # (...,nb,3,3)
+    I0 = params.body_inertia.astype(dtype)
+    # R @ I0 @ R^T as two broadcast-sum contractions (VPU, no dot_general)
+    RI = jnp.sum(R[..., :, :, None] * I0[..., None, :, :], axis=-2)
+    I_world = jnp.sum(RI[..., :, None, :] * R[..., None, :, :], axis=-1)
+    c = kin.com - kin.ref
+    m = params.body_mass.astype(dtype)[..., None, None]
+    ccT = c[..., :, None] * c[..., None, :]
+    c2 = jnp.sum(c * c, axis=-1)[..., None, None]
+    eye = jnp.eye(3, dtype=dtype)
+    cx = skew(c)
+    top = jnp.concatenate([I_world - m * (ccT - c2 * eye), m * cx], axis=-1)
+    bot = jnp.concatenate([-m * cx, m * jnp.broadcast_to(eye, cx.shape)],
+                          axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def crba(model: T.ArticulationModel, params: T.PhysParams,
-         kin: T.Kinematics) -> jnp.ndarray:
+         kin: T.Kinematics, I_b: jnp.ndarray | None = None) -> jnp.ndarray:
     """Composite-rigid-body mass matrix (nv, nv), armature included.
 
     Composite-inertia accumulation runs as a reversed LEVEL sweep
-    (batched scatter-add per depth) instead of a per-body unrolled walk."""
+    (batched scatter-add per depth) instead of a per-body unrolled walk.
+
+    I_b: optional precomputed world spatial inertias (nb,6,6) — the
+    round-3 on-chip stage profile put `_spatial_inertias` at ~700 us of
+    the 6.8 ms Ant-4096 step, and it was evaluated TWICE per substep
+    (here and in rnea_bias); the substep loop now computes it once and
+    passes it to both."""
     from .structure import TreeStructure
     nb, nv = model.nbody, model.nv
     _, mask_np, _ = dof_structure(model)
     st = TreeStructure(model)
-    I_b = _spatial_inertias(model, params, kin)           # (nb,6,6)
+    if I_b is None:
+        I_b = _spatial_inertias(model, params, kin)       # (nb,6,6)
 
-    # composite inertia via the static descendant mask — one MXU matmul
-    # instead of per-level scatter-adds (TPU scatters serialize)
+    # composite inertia via the static descendant mask — broadcast-sum
+    # over the small body dim instead of per-level scatter-adds (TPU
+    # scatters serialize; tiny dots pad MXU tiles — linalg.mv_small)
     anc = jnp.asarray(st.body_anc, I_b.dtype)             # (nb,nb)
-    Ic = jnp.einsum("bd,dij->bij", anc, I_b)
+    Ic = jnp.sum(anc[:, :, None, None] * I_b[..., None, :, :, :], axis=-3)
 
     Ic_dof = Ic[st.dof_body]                              # (nv,6,6)
     S = kin.dof_S                                         # (nv,6)
-    F = jnp.einsum("vij,vj->vi", Ic_dof, S)               # (nv,6)
-    G = S @ F.T                                           # (nv,nv): G[k,j]=S_k·F_j
+    # small-dim contractions as broadcast-sums (VPU; see linalg.mv_small)
+    F = jnp.sum(Ic_dof * S[..., None, :], axis=-1)        # (nv,6)
+    G = jnp.sum(S[:, None, :] * F[None, :, :], axis=-1)   # G[k,j]=S_k·F_j
     mask = jnp.asarray(mask_np)
     M = G * mask + (G * (mask - jnp.eye(nv, dtype=mask.dtype))).T
     M = M + jnp.diag(params.dof_armature.astype(M.dtype))
@@ -95,16 +121,20 @@ def crba(model: T.ArticulationModel, params: T.PhysParams,
 
 def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
               kin: T.Kinematics, qd: jnp.ndarray, gravity,
-              f_ext: jnp.ndarray | None = None) -> jnp.ndarray:
+              f_ext: jnp.ndarray | None = None,
+              I_b: jnp.ndarray | None = None) -> jnp.ndarray:
     """Bias force C(q, qd) − τ_ext: the generalized force such that
     M qdd = τ − C. Includes gravity, Coriolis/centrifugal and (minus)
     external spatial forces f_ext (nb, 6) about kin.ref.
+
+    I_b: optional precomputed spatial inertias — see crba().
     """
     from .structure import TreeStructure
     nb, nv = model.nbody, model.nv
     dtype = kin.body_pos.dtype
     st = TreeStructure(model)
-    I_b = _spatial_inertias(model, params, kin)
+    if I_b is None:
+        I_b = _spatial_inertias(model, params, kin)
     parent = np.asarray(model.body_parent)
 
     a0 = jnp.concatenate([jnp.zeros(3, dtype),
@@ -114,17 +144,21 @@ def rnea_bias(model: T.ArticulationModel, params: T.PhysParams,
     # is a0 plus the accumulated velocity-product terms of all ancestor
     # dofs — one mask matmul (no tree sweep)
     sdot_qd = kin.dof_Sdot * qd[:, None]                  # (nv,6)
-    acc = a0[None, :] + jnp.asarray(st.dof_body_mask, dtype).T @ sdot_qd
+    dbm = jnp.asarray(st.dof_body_mask, dtype)            # (nv,nb)
+    acc = a0[None, :] + jnp.sum(dbm[:, :, None] * sdot_qd[:, None, :],
+                                axis=0)
 
-    # net force per body: f = I a + v ×* (I v) − f_ext  (fully batched)
-    Iv = jnp.einsum("bij,bj->bi", I_b, kin.body_vel)
-    f = jnp.einsum("bij,bj->bi", I_b, acc) \
+    # net force per body: f = I a + v ×* (I v) − f_ext  (fully batched;
+    # 6x6 matvecs as broadcast-sums — see linalg.mv_small)
+    Iv = jnp.sum(I_b * kin.body_vel[..., None, :], axis=-1)
+    f = jnp.sum(I_b * acc[..., None, :], axis=-1) \
         + spatial_force_cross(kin.body_vel, Iv)
     if f_ext is not None:
         f = f - f_ext
 
-    # backward accumulate = descendant sum (one mask matmul)
-    f = jnp.asarray(st.body_anc, dtype) @ f
+    # backward accumulate = descendant sum (broadcast-sum over nb)
+    f = jnp.sum(jnp.asarray(st.body_anc, dtype)[:, :, None]
+                * f[None, :, :], axis=1)
 
     # project: C_k = S_k · f_body(k)
     return jnp.einsum("vi,vi->v", kin.dof_S, f[st.dof_body])

@@ -138,8 +138,11 @@ def _forward_kinematics_level(model, st: TreeStructure, params, q, qd):
     # per-dof partial velocity = Σ over STRICT dof ancestors — both are
     # one (nv→·) mask matmul instead of a sequential tree sweep
     Sqd = S * qd[:, None]                               # (nv,6)
-    vel = jnp.asarray(st.dof_body_mask, dtype).T @ Sqd  # (nb,6)
-    Vp = jnp.asarray(st.dof_anc_strict, dtype).T @ Sqd  # (nv,6)
+    # broadcast-sums over the small dof dim (VPU; see linalg.mv_small)
+    vel = jnp.sum(jnp.asarray(st.dof_body_mask, dtype)[:, :, None]
+                  * Sqd[:, None, :], axis=0)            # (nb,6)
+    Vp = jnp.sum(jnp.asarray(st.dof_anc_strict, dtype)[:, :, None]
+                 * Sqd[:, None, :], axis=0)             # (nv,6)
     Sdot = spatial_motion_cross(Vp, S)
 
     com = pos + quat_rotate(quat, params.body_com.astype(dtype))

@@ -18,6 +18,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def mv_small(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched matvec A @ x for SMALL trailing dims as a broadcast-
+    multiply-sum. XLA:TPU lowers tiny batched dot_generals to MXU passes
+    padded to full 128x128 tiles (the round-3 stage profile measured the
+    3x3/6x6 dots at 5-6x their elementwise cost); the broadcast form
+    fuses onto the VPU. A: (..., m, k), x: (..., k) -> (..., m)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def mm_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched matmul A @ B for SMALL dims as a broadcast-multiply-sum
+    (see mv_small). A: (..., m, k), B: (..., k, n) -> (..., m, n)."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
 def cholesky_small(M: jnp.ndarray) -> jnp.ndarray:
     """Lower-triangular L with L Lᵀ = M, unrolled over the static size n.
 
@@ -28,8 +43,9 @@ def cholesky_small(M: jnp.ndarray) -> jnp.ndarray:
     L = jnp.zeros_like(M)
     idx = np.arange(n)
     for j in range(n):
-        # s_i = Σ_{k<j} L[i,k] L[j,k]  (columns ≥ j are still zero)
-        s = jnp.einsum("...ik,...k->...i", L, L[..., j, :])
+        # s_i = Σ_{k<j} L[i,k] L[j,k]  (columns ≥ j are still zero;
+        # broadcast-sum, not dot — see mv_small)
+        s = jnp.sum(L * L[..., j, :][..., None, :], axis=-1)
         djj = jnp.maximum(M[..., j, j] - s[..., j], 1e-12)
         inv_ljj = 1.0 / jnp.sqrt(djj)
         col = (M[..., :, j] - s) * inv_ljj[..., None]
@@ -48,7 +64,7 @@ def lower_tri_inverse(L: jnp.ndarray) -> jnp.ndarray:
     idx = np.arange(n)
     for i in range(n):
         mask = jnp.asarray(idx < i, dtype)
-        acc = jnp.einsum("...k,...kj->...j", L[..., i, :] * mask, X)
+        acc = jnp.sum((L[..., i, :] * mask)[..., :, None] * X, axis=-2)
         row = (jnp.asarray(eye[i], dtype) - acc) \
             / L[..., i, i][..., None]
         X = X.at[..., i, :].set(row)
@@ -59,4 +75,4 @@ def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
     """M⁻¹ for SPD M via unrolled Cholesky: M⁻¹ = L⁻ᵀ L⁻¹."""
     L = cholesky_small(M)
     Li = lower_tri_inverse(L)
-    return jnp.einsum("...ki,...kj->...ij", Li, Li)
+    return jnp.sum(Li[..., :, :, None] * Li[..., :, None, :], axis=-3)

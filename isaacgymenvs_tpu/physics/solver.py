@@ -29,6 +29,7 @@ import numpy as np
 from ..core import types as T
 from .collide import ContactSet
 from .dynamics import dof_structure
+from .linalg import mm_small, mv_small
 
 import dataclasses
 
@@ -283,9 +284,11 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-6)
     t2 = jnp.cross(n, t1)
 
-    Jn = jnp.einsum("vci,ci->cv", v_dof, n)         # (nc,nv)
-    Jt1 = jnp.einsum("vci,ci->cv", v_dof, t1)
-    Jt2 = jnp.einsum("vci,ci->cv", v_dof, t2)
+    # contraction over the 3 spatial axes as broadcast-sums (VPU;
+    # tiny batched dots pad MXU tiles — see linalg.mv_small)
+    Jn = jnp.sum(v_dof * n[None, :, :], axis=-1).T   # (nc,nv)
+    Jt1 = jnp.sum(v_dof * t1[None, :, :], axis=-1).T
+    Jt2 = jnp.sum(v_dof * t2[None, :, :], axis=-1).T
 
     # speculative contacts (PhysX contactOffset analogue): rows within
     # contact_margin of touching activate with bias = -depth/h — the
@@ -299,7 +302,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         -jnp.clip(sim.contact_beta * depth / h, 0.0,
                   sim.max_depenetration_velocity),
         -depth / h)
-    vn_pre = Jn @ qd_free
+    vn_pre = mv_small(Jn, qd_free)
     # restitution: target normal velocity -e·v_n for impacts faster than
     # the bounce threshold (PhysX bounce_threshold_velocity). Touching
     # rows always; SEPARATED (speculative) rows only when the approach
@@ -315,13 +318,13 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
                        rest * vn_pre, 0.0)
     rows_J = [Jn, Jt1, Jt2]
     rows_b = [vn_pre + jnp.where(active, bias + bounce, 0.0),
-              Jt1 @ qd_free, Jt2 @ qd_free]
+              mv_small(Jt1, qd_free), mv_small(Jt2, qd_free)]
 
     # ---- joint-limit + tendon-range rows -----------------------------------
     if nl:
         qdof = _qpos_dof(model, q)
         W = jnp.asarray(lim_W, dtype)
-        L = W @ qdof                                # linear position value
+        L = mv_small(W, qdof)                       # linear position value
         sign = jnp.asarray(lim_sign)
         bound = jnp.asarray(lim_bound)
         # DR-randomized dof limits override the static bounds
@@ -337,7 +340,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         lim_active = viol < 0.0
         bias_l = jnp.clip(sim.contact_beta * viol / h,
                           -sim.max_depenetration_velocity, 0.0)
-        bl = Jl @ qd_free + jnp.where(lim_active, bias_l, 0.0)
+        bl = mv_small(Jl, qd_free) + jnp.where(lim_active, bias_l, 0.0)
         rows_J.append(Jl)
         rows_b.append(bl)
 
@@ -349,7 +352,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         va = point_vel_jac(a_pt, Dmat[:, np.asarray(attractors.body)])
         Ja = jnp.transpose(va, (1, 2, 0)).reshape(3 * na, nv)  # (a0x,a0y,a0z,…)
         err = (a_pt - jnp.asarray(attractors.target, dtype)).reshape(-1)
-        ba_rows = Ja @ qd_free + jnp.clip(
+        ba_rows = mv_small(Ja, qd_free) + jnp.clip(
             sim.contact_beta * err / h,
             -sim.max_depenetration_velocity, sim.max_depenetration_velocity)
         rows_J.append(Ja)
@@ -363,7 +366,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # (nr,nv) matvecs beat one dense (nr,nr) matvec on TPU (measured:
     # materializing A halved Ant throughput), and the dense form would
     # not fit HBM at hand-task row counts × thousands of envs.
-    MinvJT = Minv @ J.T                                        # (nv,nr)
+    MinvJT = mm_small(Minv, J.T)                               # (nv,nr)
 
     # tendon limit compliance: ten_kp/ten_kd (PhysX tendon
     # limit_stiffness/damping the reference sets per asset and DR scales,
@@ -414,7 +417,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
         cfm = cfm.at[3 * nc:3 * nc + nl].add(soft)
 
     def Amv(x):
-        return J @ (MinvJT @ x) + cfm * x
+        return mv_small(J, mv_small(MinvJT, x)) + cfm * x
 
     # DIAGONAL preconditioning (Chrono-style): light objects with tiny
     # rotational inertia (5 cm cubes: I ≈ 5e-6) make cond(A) explode and
@@ -498,7 +501,7 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     lam, _, _ = jax.lax.fori_loop(0, sim.solver_iterations, body,
                                   (lam0, lam0, jnp.asarray(1.0, dtype)))
 
-    qd_new = qd_free + MinvJT @ lam
+    qd_new = qd_free + mv_small(MinvJT, lam)
 
     # equivalent contact force/torque for reporting (impulse/h) per body —
     # replaces acquire_net_contact_force_tensor + force sensors

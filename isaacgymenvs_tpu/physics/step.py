@@ -18,7 +18,8 @@ from ..core import types as T
 from .actuation import actuation_terms
 from .collide import (ContactSet, PairSet, build_ground_contacts,
                       ground_contact_forces, pair_contact_geometry)
-from .dynamics import crba, integrate_position, passive_forces, rnea_bias
+from .dynamics import (_spatial_inertias, crba, integrate_position,
+                       passive_forces, rnea_bias)
 from .kinematics import forward_kinematics
 from .solver import solve_constraints
 
@@ -117,6 +118,10 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
     def substep(carry, _):
         q, qd = carry[0], carry[1]
         kin = forward_kinematics(model, params, q, qd)
+        # world spatial inertias ONCE per substep, shared by CRBA and
+        # RNEA — the stage profile measured this block at ~700 us of the
+        # 6.8 ms Ant-4096 step and it used to run twice per substep
+        I_b = _spatial_inertias(model, params, kin)
         body_ct = jnp.zeros((model.nbody, 3), q.dtype)
         ef_ref = None
         ef_body = extra_force
@@ -151,18 +156,19 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
             tau = tau + extra_tau
         if tau_fn is not None:
             tau = tau + tau_fn(q, qd)
-        C = rnea_bias(model, params, kin, qd, gravity, f_ext)
+        C = rnea_bias(model, params, kin, qd, gravity, f_ext, I_b=I_b)
         if Minv_frozen is not None:
             Minv = Minv_frozen
         else:
-            M = crba(model, params, kin)
+            M = crba(model, params, kin, I_b=I_b)
             # explicit SPD inverse via unrolled Cholesky: XLA:TPU's
             # cholesky custom-call dominated the step (59% in the round-1
             # profiler); M⁻¹ turns the solve AND the solver's Delassus
             # columns into MXU matmuls
             from .linalg import spd_inverse
             Minv = spd_inverse(M + h * jnp.diag(dimp))
-        qdd = Minv @ (tau - C - dimp * qd)
+        from .linalg import mv_small
+        qdd = mv_small(Minv, tau - C - dimp * qd)
         qd_free = qd + h * qdd
         if impulse:
             pg = (pair_contact_geometry(model, params, kin, pair_contacts,

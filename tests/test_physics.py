@@ -257,14 +257,16 @@ def test_batched_vmap_step():
 
 
 def test_ant_settles_at_config_solver_iterations():
-    """The shipped Ant config runs 12 APGD iterations
-    (cfg/task/Ant.yaml sim.num_solver_iterations) — pin the settle
-    quality there so solver/config tuning can't silently regress it."""
+    """The shipped Ant config runs 8 APGD iterations with warm-starting
+    (cfg/task/Ant.yaml sim block; round-3 on-chip A/B 603K→642K
+    env-steps/s) — pin the settle quality there so solver/config tuning
+    can't silently regress it."""
     import isaacgymenvs_tpu
     from isaacgymenvs_tpu.utils.config import load_task_config
     cfg = load_task_config("Ant")
     env = isaacgymenvs_tpu.make(task="Ant", num_envs=1, cfg=cfg)
-    assert env.sim.solver_iterations == 12
+    assert env.sim.solver_iterations == 8
+    assert env.sim.warmstart_solver
     model, sim = env.model, env.sim
     params = model.default_phys_params()
     state = T.ArtState(q=env.init_q, qd=jnp.zeros(model.nv))
