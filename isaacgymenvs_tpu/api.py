@@ -40,7 +40,7 @@ def make(seed: int = 0, task: str = "Ant", num_envs: Optional[int] = None,
     passthrough = ("contact_beta", "contact_timeconst",
                    "contact_dampratio", "friction_timeconst",
                    "limit_timeconst", "limit_dampratio",
-                   "warmstart_solver",
+                   "warmstart_solver", "solver_matvec_bf16",
                    "power_iterations", "bounce_threshold",
                    "max_contact_points", "contact_margin",
                    "max_depenetration_velocity", "freeze_mass_matrix",

@@ -383,6 +383,13 @@ class SimParams:
     # plane being material-less. -1 = plane contributes no material and
     # mu comes from the moving geom alone (round-1/2 behavior).
     ground_material_geom: int = -1
+    # store J / M⁻¹Jᵀ in bfloat16 for the APGD matvecs (f32 accumulation):
+    # the constraint solve is HBM-bound at hand-task row counts (round-3
+    # profile: ~90 ms of the 208 ms ShadowHand-16384 step is J/MinvJT
+    # reads) and halving the bytes halves it. Impulses, projections and
+    # the final velocity update stay f32. Off by default — opt-in per
+    # task config (hand/manipulation scenes).
+    solver_matvec_bf16: bool = False
 
     def __hash__(self):
         return hash((self.dt, self.substeps, self.gravity, self.solver,
@@ -390,7 +397,7 @@ class SimParams:
                      self.power_iterations, self.bounce_threshold,
                      self.contact_timeconst, self.contact_dampratio,
                      self.limit_timeconst, self.limit_dampratio,
-                     self.warmstart_solver,
+                     self.warmstart_solver, self.solver_matvec_bf16,
                      self.friction_timeconst, self.freeze_mass_matrix,
                      self.max_contact_points, self.contact_margin,
                      self.max_depenetration_velocity, self.contact_stiffness,

@@ -416,8 +416,26 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
             soft = jnp.where(jnp.asarray(lim_ten) >= 0, 0.0, soft)
         cfm = cfm.at[3 * nc:3 * nc + nl].add(soft)
 
-    def Amv(x):
-        return mv_small(J, mv_small(MinvJT, x)) + cfm * x
+    if sim.solver_matvec_bf16:
+        # bf16 operand storage for the HBM-bound iteration matvecs,
+        # f32 accumulation (jnp.sum dtype) — trims the J/MinvJT bytes
+        # that dominate hand-scale solves (measured +6% ShadowHand fps;
+        # a layout-transposed J variant was also tried and measured
+        # SLOWER on Ant/Humanoid/hand alike, so row-major J stays).
+        # Impulses, b, projections and the final update stay f32.
+        Jb = J.astype(jnp.bfloat16)
+        Mb = MinvJT.astype(jnp.bfloat16)
+
+        def Amv(x):
+            xb = x.astype(jnp.bfloat16)
+            y = jnp.sum(Mb * xb[None, :], axis=-1,
+                        dtype=jnp.float32)               # (nv,)
+            yb = y.astype(jnp.bfloat16)
+            return jnp.sum(Jb * yb[None, :], axis=-1,
+                           dtype=jnp.float32) + cfm * x
+    else:
+        def Amv(x):
+            return mv_small(J, mv_small(MinvJT, x)) + cfm * x
 
     # DIAGONAL preconditioning (Chrono-style): light objects with tiny
     # rotational inertia (5 cm cubes: I ≈ 5e-6) make cond(A) explode and
