@@ -100,6 +100,8 @@ class VecTask:
     pair_contacts = None  # static body-pair candidates (PairSet)
     attractors = None     # static pin constraints (solver.Attractors)
     refresh_kin_on_reset: bool = False
+    safety_guard: bool = True   # non-finite/runaway state → terminate env
+    safety_limit: float = 1e4   # |q| or |qd| beyond this = blown
 
     def __init__(self, cfg: Optional[dict] = None, num_envs: int = 4096):
         self.cfg = cfg or {}
@@ -202,6 +204,38 @@ class VecTask:
         # --- stage 1-2: physics ------------------------------------------
         new_art, info = self._physics(state, actions)
 
+        # --- safety: explosion/NaN guard ----------------------------------
+        # PhysX cannot produce NaN state the way an iterative ABA+APGD
+        # stack can under extreme configurations (observed: A1Terrain
+        # round-3 run went NaN at ~epoch 115 and, because NaN comparisons
+        # are False, its done flags never fired again — 550 epochs of NaN
+        # "training"). A blown env here is (a) sanitized so the state
+        # pytree stays finite, (b) force-terminated (done, not timeout —
+        # no value bootstrap), (c) given zero obs/reward for the one
+        # garbage frame. Identity for finite state, so golden
+        # bit-stability is unaffected.
+        blown = jnp.zeros(n, bool)
+        if self.safety_guard:
+            blown = (~jnp.all(jnp.isfinite(new_art.q), -1)
+                     | ~jnp.all(jnp.isfinite(new_art.qd), -1)
+                     | (jnp.max(jnp.abs(new_art.q), -1) > self.safety_limit)
+                     | (jnp.max(jnp.abs(new_art.qd), -1) > self.safety_limit))
+
+            def _san(x):
+                return jnp.clip(
+                    jnp.nan_to_num(x, nan=0.0, posinf=self.safety_limit,
+                                   neginf=-self.safety_limit),
+                    -self.safety_limit, self.safety_limit)
+
+            new_art = T.ArtState(q=_san(new_art.q), qd=_san(new_art.qd))
+            # info (kinematics/contact forces) for blown envs is garbage —
+            # sanitize so downstream obs kernels can't re-import NaN
+            info = jax.tree_util.tree_map(
+                lambda x: jnp.where(
+                    blown.reshape((n,) + (1,) * (x.ndim - 1)), _san(x), x)
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[:1] == (n,)
+                else x, info)
+
         # --- stage 3: progress + masked auto-reset ------------------------
         progress = state.progress + 1
         rng = jax.vmap(lambda k: jax.random.fold_in(k, 1))(state.rng)
@@ -276,6 +310,14 @@ class VecTask:
         # --- stage 5: timeout (exact vec_task.py:345 semantics) ------------
         timeout = (state.progress >= self.max_episode_length - 1) & done
 
+        if self.safety_guard:
+            # blown envs: terminate (reset happens next step's stage 3),
+            # zero the garbage frame so it can't reach the learner
+            done = done | blown
+            reward = jnp.where(blown, 0.0, reward)
+            obs = jnp.where(blown[:, None], 0.0, obs)
+            task_info = {**task_info, "safety_blown": jnp.sum(blown)}
+
         state = dataclasses.replace(state, done=done)
         # DR obs noise BEFORE clamp (vec_task.py:347-353)
         if self.dr is not None and self.dr.obs_spec is not None:
@@ -284,8 +326,11 @@ class VecTask:
             obs = self.dr.obs_noise(obs, k_obs, state.dr["corr_obs"],
                                     step_count)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+        states = self._states(state, info)
+        if states is not None and self.safety_guard:
+            states = jnp.where(blown[:, None], 0.0, states)
         ts = TimeStep(obs=obs, reward=reward, done=done, timeout=timeout,
-                      info=task_info, states=self._states(state, info))
+                      info=task_info, states=states)
         return state, ts
 
     # ------------------------------------------------------------- plumbing

@@ -152,6 +152,14 @@ class Runner:
         if mesh is not None and self.host0:
             print(f"env axis sharded over {mesh.devices.size} devices")
         best = -np.inf
+        # --- NaN/divergence tripwire state -------------------------------
+        # (round-3 postmortem: a1terrain_r3 went NaN at ~epoch 115 and
+        # burned 550 more epochs of NaN at full TPU budget because nothing
+        # checked finiteness. rl_games at minimum *surfaces* the numbers;
+        # unattended queued runs need a hard tripwire.) `sane_ts` is an
+        # on-device reference to the last epoch whose loss/kl/reward were
+        # all finite (pytrees are immutable; epoch_fn does not donate).
+        sane_ts, sane_epoch, strikes = ts, int(ts.epoch), 0
         steps_per_epoch = getattr(
             self.cfg, "horizon_length",
             getattr(self.cfg, "num_steps_per_episode", 1)) \
@@ -173,6 +181,36 @@ class Runner:
             m = jax.device_get(m)
             dt_epoch = time.time() - t0
             fps = steps_per_epoch / dt_epoch
+            # --- tripwire: non-finite training signal → restore + LR cut --
+            watched = [float(m.get(k, 0.0)) for k in
+                       ("loss", "kl", "reward_mean_step")]
+            if not all(np.isfinite(watched)):
+                strikes += 1
+                if self.host0:
+                    print(f"TRIPWIRE epoch {e}: non-finite metrics "
+                          f"{dict(zip(('loss','kl','rew'), watched))} — "
+                          f"strike {strikes}/3, restoring epoch "
+                          f"{sane_epoch}, lr cut x0.5", flush=True)
+                if strikes >= 3:
+                    if self.host0:
+                        print("TRIPWIRE: 3 strikes — aborting run "
+                              "(state rolled back to last finite epoch)",
+                              flush=True)
+                    ts = sane_ts
+                    break
+                import dataclasses as _dc
+                ts = sane_ts
+                if hasattr(ts, "lr"):
+                    ts = _dc.replace(ts, lr=ts.lr * 0.5)
+                continue
+            sane_ts, sane_epoch = ts, e
+            if strikes and self.host0:
+                print(f"tripwire: recovered at epoch {e}", flush=True)
+            strikes = 0
+            blown = m.get("episode/safety_blown", 0.0)
+            if blown and self.host0 and e % 10 == 0:
+                print(f"safety guard: {blown:.1f} envs/step blown at "
+                      f"epoch {e}", flush=True)
             ep_r_acc += float(m["episode_reward_sum"])
             ep_l_acc += float(m["episode_length_sum"])
             ep_n_acc += float(m["episode_count"])

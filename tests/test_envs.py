@@ -434,3 +434,39 @@ def test_sim_param_passthrough():
     env = isaacgymenvs_tpu.make(task="Ant", num_envs=2, cfg=c)
     assert env.sim.friction_timeconst == 0.004
     assert env.sim.power_iterations == 3
+
+
+def test_safety_guard_nan_recovery(cartpole):
+    """Round-4 explosion guard (envs/base.py): an env whose physics
+    produces NaN state must be sanitized, force-terminated, and fully
+    recovered (finite, re-spawned) two steps later — the round-3
+    a1terrain failure mode (NaN comparisons are False → done never
+    fires → permanent NaN) must be impossible."""
+    import dataclasses
+    from isaacgymenvs_tpu.core.types import ArtState
+
+    env = cartpole
+    state, _ = env.reset(jax.random.PRNGKey(7))
+    # inject NaN into env 0's q and +inf into env 1's qd
+    q = state.art.q.at[0, 0].set(jnp.nan)
+    qd = state.art.qd.at[1, 0].set(jnp.inf)
+    state = dataclasses.replace(state, art=ArtState(q=q, qd=qd))
+
+    step = jax.jit(env.step)
+    state, ts = step(state, jnp.zeros((16, 1)))
+    # guard fires: both envs terminated, their frames zeroed
+    assert bool(ts.done[0]) and bool(ts.done[1])
+    assert not bool(ts.timeout[0]) and not bool(ts.timeout[1])
+    assert float(jnp.abs(ts.obs[0]).max()) == 0.0
+    assert float(ts.reward[0]) == 0.0 and float(ts.reward[1]) == 0.0
+    # state pytree is finite again (sanitized)
+    assert bool(jnp.isfinite(state.art.q).all())
+    assert bool(jnp.isfinite(state.art.qd).all())
+    assert float(ts.info["safety_blown"]) == 2.0
+    # next step: auto-reset replaces the blown envs with fresh spawns
+    state, ts = step(state, jnp.zeros((16, 1)))
+    assert bool(jnp.isfinite(ts.obs).all())
+    assert abs(float(ts.obs[0, 0])) < 0.5  # near-origin respawn
+    # and the guard is quiescent on healthy state
+    state, ts = step(state, jnp.zeros((16, 1)))
+    assert float(ts.info["safety_blown"]) == 0.0

@@ -228,3 +228,37 @@ def test_amp_agent_learns_discriminator(tmp_path):
     assert os.path.getsize(p) < 30e6, "rings not stripped from checkpoint"
     loaded, _ = load_checkpoint(p)
     assert loaded.demo_buf is None and loaded.replay_buf is None
+
+
+def test_runner_nan_tripwire(tmp_path):
+    """Round-4 tripwire (learn/runner.py): a run whose loss goes
+    non-finite must restore the last finite state, cut LR, and abort
+    after 3 consecutive strikes — never committing NaN epochs as
+    training progress (round-3 a1terrain burned 550 NaN epochs)."""
+    import dataclasses as dc
+    from isaacgymenvs_tpu.learn.runner import Runner
+
+    env = isaacgymenvs_tpu.make(task="Cartpole", num_envs=16)
+    params = load_train_config("CartpolePPO")
+    runner = Runner(env, params, seed=0, logdir=str(tmp_path),
+                    max_epochs=30)
+    agent = runner.agent
+    real_epoch = agent.epoch_fn
+    calls = {"n": 0}
+
+    def poisoned(ts):
+        ts, m = real_epoch(ts)
+        calls["n"] += 1
+        if calls["n"] >= 5:  # from epoch 5 on, loss is NaN forever
+            m = dict(m)
+            m["loss"] = jnp.nan
+        return ts, m
+
+    agent.epoch_fn = poisoned
+    ts = runner.train()
+    # aborted at 3 strikes: 4 clean + 3 poisoned epochs, not 30
+    assert calls["n"] == 7, calls["n"]
+    # returned state is the rollback: its lr was never NaN-cut below
+    # 2 halvings of the sane snapshot (sane lr * 0.25 would mean the
+    # poisoned state leaked)
+    assert bool(jnp.isfinite(ts.lr))
