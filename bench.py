@@ -82,6 +82,16 @@ def main():
     except Exception as e:  # train-mode bench must never mask the headline
         print(f"train-epoch bench failed: {e}", file=sys.stderr)
         ant_train = 0.0
+    # manipulation tier (round-3 Weak #3/#10: the hand hot path was
+    # invisible to the driver artifact): ShadowHandOpenAI_FF at the
+    # reference 16384-env config, full train-epoch fps — the number that
+    # gates whether the 5000-epoch reference recipe is reachable.
+    try:
+        sh_train = bench_train_epoch("ShadowHandOpenAI_FF",
+                                     num_envs=16384, iters=4)
+    except Exception as e:
+        print(f"shadowhand train bench failed: {e}", file=sys.stderr)
+        sh_train = 0.0
     print(json.dumps({
         "metric": "ant4096_env_steps_per_sec",
         "value": round(ant),
@@ -91,6 +101,7 @@ def main():
         "humanoid_vs_baseline": round(hum / BASELINE["Humanoid"], 3),
         "ant4096_train_epoch_fps": round(ant_train),
         "train_vs_step_ratio": round(ant_train / ant, 3) if ant else 0.0,
+        "shadowhand16384_train_epoch_fps": round(sh_train),
     }))
 
 

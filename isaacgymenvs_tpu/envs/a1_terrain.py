@@ -241,13 +241,12 @@ class A1Terrain(AnymalTerrain):
         done = done | (state.progress >= self.max_episode_length - 1)
 
         ep_sums = aux["ep_sums"] + terms
-        n_done = jnp.maximum(jnp.sum(done), 1)
-        per_term = jnp.sum(jnp.where(done[:, None], ep_sums, 0.0), axis=0) \
-            / n_done / self.max_episode_length_s
+        # done-gated per-term channel — see anymal_terrain._reward_done
         task_info = {"terrain_level_mean":
                      jnp.mean(aux["terrain_levels"].astype(jnp.float32))}
         for i, name in enumerate(_REW_TERMS_A1):
-            task_info["rew_" + name] = per_term[i]
+            task_info["final/rew_" + name] = \
+                ep_sums[:, i] / self.max_episode_length_s
 
         aux_up = {"feet_air_time": air, "last_actions": actions,
                   "last_dof_vel": qd[:, 6:], "ep_sums": ep_sums}

@@ -322,7 +322,18 @@ class AnymalTerrain(VecTask):
                                        maxval=1.5)
             dv = jax.random.uniform(ks[1], (self.num_dof,), minval=-0.1,
                                     maxval=0.1)
-            q = self.init_q.at[7:].set(self.default_dof_pos * scale)
+            # PhysX clamps DOF positions to joint limits on
+            # set_dof_state (the reference's ×U(0.5,1.5) sampling,
+            # anymal_terrain.py:387, routinely lands outside them —
+            # A1's calf range [-2.7,-0.92] × 0.5-1.5 of default -1.5
+            # violates the upper bound ~40% of the time). Without the
+            # clamp our limit rows catapult the joint at
+            # beta·viol/h ≈ 16 rad/s every reset (the round-3 A1
+            # reward-explosion/NaN seed).
+            lo, hi = self.model.dof_limits()
+            dof = jnp.clip(self.default_dof_pos * scale,
+                           jnp.asarray(lo[6:]), jnp.asarray(hi[6:]))
+            q = self.init_q.at[7:].set(dof)
             if self.terrain is not None:
                 xy = jax.random.uniform(ks[2], (2,), minval=-0.5, maxval=0.5)
                 q = q.at[0:3].add(origin).at[0:2].add(xy)
@@ -482,13 +493,16 @@ class AnymalTerrain(VecTask):
         total = total + rs["termination"] * (done & ~timeout)
 
         ep_sums = aux["ep_sums"] + terms
-        n_done = jnp.maximum(jnp.sum(done), 1)
-        per_term = jnp.sum(jnp.where(done[:, None], ep_sums, 0.0), axis=0) \
-            / n_done / self.max_episode_length_s
+        # per-term episode sums ride the done-gated "final/" channel
+        # (reference extras["episode"], anymal_terrain.py:419-424: mean
+        # over RESETTING envs / max_episode_length_s). The earlier
+        # pre-reduced per-step scalar was diluted ~1/ep_len by the
+        # epoch-mean (round-3 Weak #2: channel read ~0.0 all run).
         task_info = {"terrain_level_mean":
                      jnp.mean(aux["terrain_levels"].astype(jnp.float32))}
         for i, name in enumerate(_REW_TERMS):
-            task_info["rew_" + name] = per_term[i]
+            task_info["final/rew_" + name] = \
+                ep_sums[:, i] / self.max_episode_length_s
 
         aux_up = {"feet_air_time": air, "last_actions": actions,
                   "last_dof_vel": qd[:, 6:], "ep_sums": ep_sums}

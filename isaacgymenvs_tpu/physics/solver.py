@@ -527,20 +527,29 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     f_lin = (lam[:nc, None] * n + lam[nc:2 * nc, None] * t1
              + lam[2 * nc:3 * nc, None] * t2) / h
     if nc:
+        # scatter-free accumulation: body_a/body_b are top-k-selected
+        # (traced) indices, so segment_sum lowers to scatter-add — which
+        # serializes under vmap on TPU and TRIPLED the ShadowHand-16384
+        # step (26.6K → 9.0K steps/s) whenever the asymmetric-critic
+        # states consumed these forces. A dynamic one-hot (nc,nb) mask
+        # contracted on the VPU is the same trick the round-3 narrowphase
+        # fix used.
+        bodies = jnp.arange(nb)
+        onehot_a = (body_a[:, None] == bodies[None, :]).astype(dtype)
         arm_a = cpt - kin.body_pos[body_a]
-        body_cf = jax.ops.segment_sum(f_lin, body_a, num_segments=nb)
-        body_ct = jax.ops.segment_sum(jnp.cross(arm_a, f_lin), body_a,
-                                      num_segments=nb)
+        ct_a = jnp.cross(arm_a, f_lin)
+        body_cf = jnp.sum(onehot_a[:, :, None] * f_lin[:, None, :], axis=0)
+        body_ct = jnp.sum(onehot_a[:, :, None] * ct_a[:, None, :], axis=0)
         if ncp:  # static: pair candidates exist (ground-only → body_b ≡ −1)
-            has_b = (body_b >= 0)
             bb_c = jnp.maximum(body_b, 0)
-            f_b = jnp.where(has_b[:, None], f_lin, 0.0)
+            onehot_b = ((body_b[:, None] == bodies[None, :])
+                        & (body_b >= 0)[:, None]).astype(dtype)
             arm_b = cpt - kin.body_pos[bb_c]
-            body_cf = body_cf - jax.ops.segment_sum(
-                f_b, bb_c, num_segments=nb)
-            body_ct = body_ct - jax.ops.segment_sum(
-                jnp.where(has_b[:, None], jnp.cross(arm_b, f_lin), 0.0),
-                bb_c, num_segments=nb)
+            ct_b = jnp.cross(arm_b, f_lin)
+            body_cf = body_cf - jnp.sum(
+                onehot_b[:, :, None] * f_lin[:, None, :], axis=0)
+            body_ct = body_ct - jnp.sum(
+                onehot_b[:, :, None] * ct_b[:, None, :], axis=0)
     else:
         body_cf = jnp.zeros((nb, 3), dtype)
         body_ct = jnp.zeros((nb, 3), dtype)

@@ -179,7 +179,7 @@ def test_anymal_terrain_smoke():
     for _ in range(10):
         state, ts = step(state, jnp.zeros((4, 12)))
     assert not jnp.isnan(ts.obs).any()
-    assert "terrain_level_mean" in ts.info and "rew_lin_vel_xy" in ts.info
+    assert "terrain_level_mean" in ts.info and "final/rew_lin_vel_xy" in ts.info
     # spawned on terrain cells, settled above its origin
     z_rel = np.asarray(state.art.q[:, 2] - state.aux["env_origins"][:, 2])
     assert (z_rel > 0.2).all()
@@ -194,7 +194,7 @@ def test_a1_terrain_smoke():
     for _ in range(10):
         state, ts = step(state, jnp.zeros((4, 12)))
     assert not jnp.isnan(ts.obs).any()
-    assert "rew_gait" in ts.info and "rew_foot_contact" in ts.info
+    assert "final/rew_gait" in ts.info and "final/rew_foot_contact" in ts.info
 
 
 def test_ball_balance_smoke():
