@@ -50,42 +50,42 @@ fresh() { rm -rf "runs/$1"; }
 # 1a. plain ShadowHand (no DR, full_state): the fastest route to
 #     double-digit consecutive successes
 fresh shadowhand_r4
-run_resumable shadowhand_r4 5400 python train.py task=ShadowHand \
+run_resumable shadowhand_r4 4500 python train.py task=ShadowHand \
   experiment=shadowhand_r4 seed=42
 
 # 1b. OpenAI FF + full DR — the reference headline config
 fresh shadowhand_ff_r4
-run_resumable shadowhand_ff_r4 7200 python train.py task=ShadowHandOpenAI_FF \
+run_resumable shadowhand_ff_r4 5400 python train.py task=ShadowHandOpenAI_FF \
   experiment=shadowhand_ff_r4 seed=42
 
 # 2. Factory NutBoltPick at reference scale with the fixed success metric
 fresh factory_pick_r4
-run factory_pick_r4 2700 python train.py task=FactoryTaskNutBoltPick \
+run factory_pick_r4 2400 python train.py task=FactoryTaskNutBoltPick \
   experiment=factory_pick_r4 seed=42
 
 # 3. Trifinger with asymmetric critic (first real run)
 fresh trifinger_r4
-run trifinger_r4 2700 python train.py task=Trifinger \
+run trifinger_r4 2400 python train.py task=Trifinger \
   experiment=trifinger_r4 seed=42 num_envs=8192
 
 # 4. AMP walk with LowGP (disc saturated at GP=5; see VERDICT #4)
 fresh amp_walk_lowgp_r4
-run amp_walk_lowgp_r4 2400 python train.py task=HumanoidAMP \
+run amp_walk_lowgp_r4 2100 python train.py task=HumanoidAMP \
   train=HumanoidAMPPPOLowGP experiment=amp_walk_lowgp_r4 seed=42 \
   task.env.motion_file=amp_humanoid_walk.npy max_iterations=3000
 
 # 5. A1Terrain after the spawn-clamp + depenetration-cap fix
 fresh a1terrain_r4
-run a1terrain_r4 1800 python train.py task=A1Terrain \
+run a1terrain_r4 1500 python train.py task=A1Terrain \
   experiment=a1terrain_r4 seed=42
 
 # 6. Ant solver A/Bs (8-iter warm-start vs 12-iter cold; seed control)
 fresh ant_si12_s42
-run ant_si12_s42 800 python train.py task=Ant experiment=ant_si12_s42 \
+run ant_si12_s42 700 python train.py task=Ant experiment=ant_si12_s42 \
   seed=42 max_iterations=1500 task.sim.num_solver_iterations=12 \
   task.sim.warmstart_solver=false
 fresh ant_r4_s7
-run ant_r4_s7 800 python train.py task=Ant experiment=ant_r4_s7 seed=7 \
+run ant_r4_s7 700 python train.py task=Ant experiment=ant_r4_s7 seed=7 \
   max_iterations=1500
 
 echo "=== r4 queue complete $(date +%H:%M:%S) ===" >&2
