@@ -166,7 +166,16 @@ class Runner:
             * self.env.num_envs
         nn_dir = os.path.join(self.logdir, "nn")
         t_start = time.time()
-        ep_r_acc = ep_n_acc = ep_l_acc = 0.0
+        # rolling ~100-episode reward/length window (rl_games
+        # games_to_track deque, a2c_common). The previous per-print-window
+        # mean was computed over however many episodes finished in ≤10
+        # epochs — for SAC's 8-step epochs that is a handful of episodes,
+        # and best-ckpt gating once recorded a +4242 "peak" from a
+        # single-epoch fluke (runs/ant_sac_r3 epoch 121) that no later
+        # real performance could beat.
+        from collections import deque
+        ep_window: deque = deque()
+        win_r = win_n = win_l = 0.0
         ep_rew = 0.0
         # best-ckpt gating must wait for REAL episode data: ep_rew's 0.0
         # placeholder would otherwise be saved as "best" and, for tasks
@@ -211,20 +220,24 @@ class Runner:
             if blown and self.host0 and e % 10 == 0:
                 print(f"safety guard: {blown:.1f} envs/step blown at "
                       f"epoch {e}", flush=True)
-            ep_r_acc += float(m["episode_reward_sum"])
-            ep_l_acc += float(m["episode_length_sum"])
-            ep_n_acc += float(m["episode_count"])
-            # running episode-reward estimate; carries the last window's
-            # value through print-epoch accumulator resets so best-ckpt
-            # gating (below) isn't starved right after each print
-            if ep_n_acc > 0:
-                ep_rew = ep_r_acc / ep_n_acc
+            n_new = float(m["episode_count"])
+            if n_new > 0:
+                ep_window.append((float(m["episode_reward_sum"]),
+                                  float(m["episode_length_sum"]), n_new))
+                win_r += ep_window[-1][0]
+                win_l += ep_window[-1][1]
+                win_n += n_new
+                # drop oldest epochs while ≥100 episodes remain without them
+                while len(ep_window) > 1 and win_n - ep_window[0][2] >= 100:
+                    r0, l0, n0 = ep_window.popleft()
+                    win_r -= r0; win_l -= l0; win_n -= n0
+                ep_rew = win_r / win_n
                 any_episode = True
             scalars = {f"train/{k}": v for k, v in m.items()
                        if not k.startswith("episode_")}
             scalars.update({
                 "rewards/episode": ep_rew,
-                "episode_lengths/mean": ep_l_acc / max(ep_n_acc, 1),
+                "episode_lengths/mean": win_l / max(win_n, 1),
                 "performance/step_fps": fps,
             })
             self.writer.write(e, scalars)
@@ -233,8 +246,6 @@ class Runner:
                 if self.host0:
                     print(f"epoch {e:5d} | ep_rew {ep_rew:10.2f} | "
                           f"fps {fps:9.0f} | kl {kl:.4f}", flush=True)
-                if ep_n_acc > 0:
-                    ep_r_acc = ep_l_acc = ep_n_acc = 0.0
             # save_checkpoint must run on EVERY process (its
             # process_allgather is a collective; host 0 does the write) —
             # the triggering predicates (epoch, ep_rew from globally

@@ -30,7 +30,11 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 # (task, num_envs, steps) — small batches keep the files tiny
 CASES = [("Cartpole", 8, 100), ("Ant", 4, 100), ("BallBalance", 4, 100),
-         ("Humanoid", 4, 60)]  # pins the compliant-limit knee physics
+         ("Humanoid", 4, 60),   # pins the compliant-limit knee physics
+         # ADVICE r3: the hand solver path (8 warm-started iterations +
+         # bf16 matvecs + 64-contact cap) had no golden while receiving
+         # the most aggressive tuning
+         ("ShadowHand", 2, 40)]
 
 
 def _rollout(task, num_envs, steps, jit=True, shard=False):
@@ -59,9 +63,11 @@ def _golden_path(task):
     return os.path.join(GOLDEN_DIR, f"{task}.npz")
 
 
-def record_all():
+def record_all(only_missing=False):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for task, n, steps in CASES:
+        if only_missing and os.path.exists(_golden_path(task)):
+            continue
         q, r = _rollout(task, n, steps)
         np.savez_compressed(_golden_path(task), q=q, r=r)
         print(f"recorded {task}: q{q.shape} |q|max={np.abs(q).max():.3f}")
@@ -118,7 +124,40 @@ def test_golden_device_count_invariance():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_sharded_long_horizon_bounded():
+    """ADVICE r3: the tight 20-step window narrows where a sharding bug
+    must manifest; a slowly-growing error could pass. Long-horizon
+    companion: 100 sharded steps must stay finite, physically bounded,
+    and within a loose envelope of the single-device golden — gross
+    breakage (wrong collective, shard-dependent math) diverges to
+    O(1-100) or NaN well before step 100."""
+    task, n, steps = "Ant", 4, 100
+    g = np.load(_golden_path(task))
+    from isaacgymenvs_tpu.parallel.mesh import make_mesh, shard_batched
+    env = isaacgymenvs_tpu.make(task=task, num_envs=n)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(1234))
+    state = shard_batched(state, make_mesh(4), n)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(99)
+    qs = []
+    for t in range(steps):
+        key, k = jax.random.split(key)
+        act = 0.5 * jnp.sin(0.1 * t + jnp.arange(env.num_acts)) \
+            * jnp.ones((n, env.num_acts))
+        act = act + 0.1 * jax.random.normal(k, act.shape)
+        state, ts = step(state, act)
+        qs.append(np.asarray(state.art.q))
+    qs = np.stack(qs)
+    assert np.isfinite(qs).all()
+    # bounded wander envelope (chaotic contact branches flip on rounding
+    # noise after ~step 24; physically-equivalent divergence stays small)
+    err = np.max(np.abs(qs - g["q"][:steps]))
+    assert err < 0.5, f"sharded rollout diverged {err} from golden"
+    # bodies stay in a sane arena (no runaway energy under sharding)
+    assert np.abs(qs).max() < 50.0
+
+
 if __name__ == "__main__":
     import sys
     if "--record" in sys.argv:
-        record_all()
+        record_all(only_missing="--only-missing" in sys.argv)

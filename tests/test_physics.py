@@ -349,3 +349,45 @@ def test_limit_compliance_no_bounce():
     assert soft.max() < 4.08                     # bounded violation
     assert soft[-30:].mean() > 3.97              # parked at the stop
     assert soft[-30:].std() < 0.02               # no rejection chatter
+
+
+def test_bf16_solver_matvec_quality():
+    """ADVICE r3 (medium): solver_matvec_bf16 ships ON in the five
+    hand/manipulation configs but had zero coverage. Pin (a) one-step
+    impulse agreement bf16-vs-f32 from an identical contact-rich hand
+    state, (b) multi-step stability: the object must stay in the palm
+    (no explosion, bounded velocities) under the bf16 path."""
+    import dataclasses
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+
+    def mk(bf16):
+        cfg = load_task_config("ShadowHand")
+        cfg["env"]["numEnvs"] = 8
+        cfg["sim"]["solver_matvec_bf16"] = bf16
+        return isaacgymenvs_tpu.make(task="ShadowHand", num_envs=8, cfg=cfg)
+
+    env32, env16 = mk(False), mk(True)
+    state, _ = jax.jit(env32.reset)(jax.random.PRNGKey(0))
+    a = jnp.zeros((8, env32.num_acts))
+
+    # (a) one step from the same state: per-dof velocity agreement.
+    # bf16 has ~3 decimal digits; impulses at hand scales are O(0.1-1),
+    # so 3e-2 rad/s per-dof agreement is the expected precision class.
+    s32, _ = jax.jit(env32.step)(state, a)
+    s16, _ = jax.jit(env16.step)(state, a)
+    dvel = float(jnp.max(jnp.abs(s32.art.qd - s16.art.qd)))
+    assert dvel < 3e-2, f"bf16 one-step qd diverges from f32 by {dvel}"
+
+    # (b) 60 steps (1 s) of bf16: object settled in palm, no blowups
+    st = state
+    step16 = jax.jit(env16.step)
+    for _ in range(60):
+        st, ts = step16(st, a)
+    assert bool(jnp.isfinite(st.art.q).all())
+    assert float(ts.info.get("safety_blown", 0.0)) == 0.0
+    # object z stays near the palm spawn height (no launch/fall-through)
+    oq = env16.obj_q
+    z = st.art.q[:, oq + 2]
+    assert float(jnp.min(z)) > 0.0 and float(jnp.max(z)) < 2.0, z
+    assert float(jnp.max(jnp.abs(st.art.qd))) < 30.0
