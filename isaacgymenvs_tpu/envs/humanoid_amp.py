@@ -230,10 +230,9 @@ class HumanoidAMP(VecTask):
             tk = jnp.maximum(motion_times - k * self.dt_ctl, 0.0)
             msk = self.motion_lib.get_motion_state(motion_ids, tk)
             qk, qdk = self._motion_state_to_qqd(msk)
-            obs_k = build_amp_observations(
-                msk[0], msk[1], msk[3], msk[4], msk[2], msk[5], msk[6],
-                self.local_root_obs)
-            hist.append(obs_k)
+            # key_pos via OUR FK, not the motion's stored key_pos — see
+            # fetch_amp_obs_demo
+            hist.append(self._amp_obs_from_qqd(qk, qdk))
         amp_hist = jnp.stack(hist, axis=1)
         return q, qd, {"amp_hist": amp_hist}
 
@@ -286,7 +285,19 @@ class HumanoidAMP(VecTask):
 
     # --------------------------------------------------------------- AMP API
     def fetch_amp_obs_demo(self, key, num_samples):
-        """Demo windows for the discriminator (humanoid_amp.py:109-135)."""
+        """Demo windows for the discriminator (humanoid_amp.py:109-135).
+
+        key_pos comes from OUR model's FK on the motion's (q, qd) — NOT
+        the motion file's stored global key positions. The two disagree
+        by 1.7 cm mean / 28 cm max over the walk clip (retarget/FK
+        convention gap), which handed the discriminator an always-on
+        systematic feature separating any simulated state from any demo
+        state: disc_acc_demo pinned at exactly 1.00 from epoch ~18 and
+        the policy plateaued at ~134/300 ep len for two rounds. In the
+        reference the two sources coincide because the motion was
+        retargeted onto the same skeleton the sim loads; routing demo
+        obs through the agent's own FK restores that consistency by
+        construction."""
         km, kt = jax.random.split(key)
         ids = self.motion_lib.sample_motions(km, num_samples)
         t0 = self.motion_lib.sample_time(kt, ids)
@@ -294,7 +305,6 @@ class HumanoidAMP(VecTask):
         for k in range(self.num_amp_obs_steps):
             tk = jnp.maximum(t0 - k * self.dt_ctl, 0.0)
             ms = self.motion_lib.get_motion_state(ids, tk)
-            obs.append(build_amp_observations(
-                ms[0], ms[1], ms[3], ms[4], ms[2], ms[5], ms[6],
-                self.local_root_obs))
+            qk, qdk = self._motion_state_to_qqd(ms)
+            obs.append(self._amp_obs_from_qqd(qk, qdk))
         return jnp.concatenate(obs, axis=-1)
