@@ -76,3 +76,53 @@ def spd_inverse(M: jnp.ndarray) -> jnp.ndarray:
     L = cholesky_small(M)
     Li = lower_tri_inverse(L)
     return jnp.sum(Li[..., :, :, None] * Li[..., :, None, :], axis=-3)
+
+
+def spd_inverse_blocked(M: jnp.ndarray, components) -> jnp.ndarray:
+    """M⁻¹ for SPD M that is BLOCK-DIAGONAL over `components` (static
+    tuple of tuples of index lists) — disconnected actors in a composed
+    scene (props, free objects) never couple in the mass matrix, so the
+    inverse factors per component.
+
+    Unrolled-Cholesky cost is O(nv³) with an nv-long dependency chain:
+    FrankaCabinet's 16 free-prop scene is nv=109 dense (1.3 MFLOP and a
+    109-step chain per substep) but 13³ + 16·6³ ≈ 5.6 KFLOP blocked,
+    with same-size components batched into ONE unrolled factorization.
+    Bit-identical to the dense path for truly block-diagonal M: the
+    dense recurrences only add exact zeros outside the blocks."""
+    if len(components) <= 1:
+        return spd_inverse(M)
+    Minv = jnp.zeros_like(M)
+    from collections import defaultdict
+    by_size = defaultdict(list)
+    for comp in components:
+        by_size[len(comp)].append(np.asarray(comp, np.int32))
+    for size, comps in sorted(by_size.items()):
+        idx = np.stack(comps)                              # (k, s)
+        blocks = M[..., idx[:, :, None], idx[:, None, :]]  # (..., k, s, s)
+        binv = spd_inverse(blocks)
+        Minv = Minv.at[..., idx[:, :, None], idx[:, None, :]].set(binv)
+    return Minv
+
+
+def mm_blocked(Minv: jnp.ndarray, B: jnp.ndarray, components) -> jnp.ndarray:
+    """Minv @ B for block-diagonal Minv (see spd_inverse_blocked).
+    B: (nv, m) → (nv, m). Streams s·nv·m work per component group
+    instead of nv²·m — the Delassus assembly M⁻¹Jᵀ at FrankaCabinet
+    scale reads 18× less than the dense broadcast-sum."""
+    if len(components) <= 1:
+        return mm_small(Minv, B)
+    out = jnp.zeros((Minv.shape[-2],) + B.shape[1:], B.dtype)
+    from collections import defaultdict
+    by_size = defaultdict(list)
+    for comp in components:
+        by_size[len(comp)].append(np.asarray(comp, np.int32))
+    for size, comps in sorted(by_size.items()):
+        idx = np.stack(comps)                               # (k, s)
+        blk = Minv[..., idx[:, :, None], idx[:, None, :]]   # (k, s, s)
+        rows = B[idx]                                       # (k, s, m)
+        prod = jnp.sum(blk[..., :, :, None] * rows[..., None, :, :],
+                       axis=-2)                             # (k, s, m)
+        out = out.at[idx.reshape(-1)].set(
+            prod.reshape(-1, B.shape[-1]))
+    return out

@@ -366,7 +366,9 @@ def solve_constraints(model: T.ArticulationModel, params: T.PhysParams,
     # (nr,nv) matvecs beat one dense (nr,nr) matvec on TPU (measured:
     # materializing A halved Ant throughput), and the dense form would
     # not fit HBM at hand-task row counts × thousands of envs.
-    MinvJT = mm_small(Minv, J.T)                               # (nv,nr)
+    from .step import dof_components
+    from .linalg import mm_blocked
+    MinvJT = mm_blocked(Minv, J.T, dof_components(model))      # (nv,nr)
 
     # tendon limit compliance: ten_kp/ten_kd (PhysX tendon
     # limit_stiffness/damping the reference sets per asset and DR scales,

@@ -48,6 +48,32 @@ def _vmax_vec(model, sim):
                                 sim.max_linear_velocity))
 
 
+@functools.lru_cache(maxsize=None)
+def dof_components(model: T.ArticulationModel) -> tuple:
+    """Static partition of the dof index range by connected component of
+    the body tree (root = ancestor whose parent is world). Composed
+    scenes (actor A + free props B, C, …) have EXACTLY block-diagonal
+    mass matrices over this partition — the basis for
+    linalg.spd_inverse_blocked/mm_blocked."""
+    import numpy as np
+    nb = model.nbody
+    root = np.arange(nb)
+    parent = np.asarray(model.body_parent)
+    for b in range(nb):
+        r = b
+        while parent[r] >= 0:
+            r = parent[r]
+        root[b] = r
+    ndof = {T.FREE: 6, T.BALL: 3, T.HINGE: 1, T.SLIDE: 1}
+    comps: dict = {}
+    for ji in range(model.njnt):
+        r = int(root[model.jnt_body[ji]])
+        va = int(model.jnt_vadr[ji])
+        comps.setdefault(r, []).extend(
+            range(va, va + ndof[int(model.jnt_type[ji])]))
+    return tuple(tuple(sorted(v)) for _, v in sorted(comps.items()))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StepInfo:
@@ -103,17 +129,18 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
     # frozen mass matrix (PhysX-style once-per-control-step assembly):
     # static graph structure so the saving survives vmap (a lax.cond
     # would lower to select under vmap and run both branches)
+    comps = dof_components(model)
     Minv_frozen = None
     if impulse and sim.freeze_mass_matrix:
-        from .linalg import spd_inverse
+        from .linalg import spd_inverse_blocked
         kin0 = forward_kinematics(model, params, state.q, state.qd)
         dimp0 = params.dof_damping.astype(state.q.dtype)
         if ctrl is not None and model.nu:
             _, d_kd0, d_kp0 = actuation_terms(model, params, ctrl,
                                               state.q, state.qd)
             dimp0 = dimp0 + d_kd0 + h * d_kp0
-        Minv_frozen = spd_inverse(crba(model, params, kin0)
-                                  + h * jnp.diag(dimp0))
+        Minv_frozen = spd_inverse_blocked(
+            crba(model, params, kin0) + h * jnp.diag(dimp0), comps)
 
     def substep(carry, _):
         q, qd = carry[0], carry[1]
@@ -164,9 +191,10 @@ def physics_step(model: T.ArticulationModel, sim: T.SimParams,
             # explicit SPD inverse via unrolled Cholesky: XLA:TPU's
             # cholesky custom-call dominated the step (59% in the round-1
             # profiler); M⁻¹ turns the solve AND the solver's Delassus
-            # columns into MXU matmuls
-            from .linalg import spd_inverse
-            Minv = spd_inverse(M + h * jnp.diag(dimp))
+            # columns into MXU matmuls. Blocked over the scene's
+            # disconnected actors (exact for block-diagonal M).
+            from .linalg import spd_inverse_blocked
+            Minv = spd_inverse_blocked(M + h * jnp.diag(dimp), comps)
         from .linalg import mv_small
         qdd = mv_small(Minv, tau - C - dimp * qd)
         qd_free = qd + h * qdd

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 follow-up queue (runs after queue_r4.sh):
+#  - resume shadowhand_r4 past consecutive_successes >= 10 (it reached
+#    7.1 at epoch 1144 when the first budget expired, climbing +0.013/ep)
+#  - ant_sac_r4: demonstrate the rolling-window best gating (no phantom
+#    peak/collapse) on SAC
+#  - franka_cabinet_r4: first real curve with the blocked-inverse scene
+set -u
+cd /root/repo
+
+run() {
+  local name="$1"; local total="$2"; shift 2
+  echo "=== r4b: $name (budget ${total}s) $(date +%H:%M:%S) ===" >&2
+  GRACE=${GRACE:-600} timeout $((total + 900)) scripts/tpu_run.sh \
+    "runs/$name/metrics.jsonl" "$total" "$@" \
+    > "/tmp/queue_${name}.log" 2>&1
+  echo "=== r4b: $name done rc=$? $(date +%H:%M:%S) ===" >&2
+}
+
+run shadowhand_r4 1500 python train.py task=ShadowHand \
+  experiment=shadowhand_r4 seed=42 checkpoint=runs/shadowhand_r4/nn/last.ckpt
+
+rm -rf runs/ant_sac_r4
+run ant_sac_r4 1000 python train.py task=Ant train=AntSAC \
+  experiment=ant_sac_r4 seed=42 max_iterations=2000
+
+rm -rf runs/franka_cabinet_r4
+run franka_cabinet_r4 1100 python train.py task=FrankaCabinet \
+  experiment=franka_cabinet_r4 seed=42
+
+echo "=== r4b complete $(date +%H:%M:%S) ===" >&2

@@ -391,3 +391,48 @@ def test_bf16_solver_matvec_quality():
     z = st.art.q[:, oq + 2]
     assert float(jnp.min(z)) > 0.0 and float(jnp.max(z)) < 2.0, z
     assert float(jnp.max(jnp.abs(st.art.qd))) < 30.0
+
+
+def test_blocked_spd_inverse_matches_dense():
+    """spd_inverse_blocked/mm_blocked must agree with the dense path on a
+    block-diagonal system (FrankaCabinet scene: franka 9 + cabinet 4 +
+    16 free props = nv 109). The blocked path is the product fast path;
+    the dense path is the oracle."""
+    import numpy as np
+    from isaacgymenvs_tpu.physics.linalg import (mm_blocked, mm_small,
+                                                 spd_inverse,
+                                                 spd_inverse_blocked)
+    rng = np.random.RandomState(0)
+    comps = ((0, 1, 2, 3, 4, 5, 6, 7, 8), (9, 10, 11, 12),
+             tuple(range(13, 19)), tuple(range(19, 25)))
+    n = 25
+    M = np.zeros((n, n), np.float32)
+    for c in comps:
+        a = rng.randn(len(c), len(c)).astype(np.float32)
+        blk = a @ a.T + len(c) * np.eye(len(c), dtype=np.float32)
+        M[np.ix_(c, c)] = blk
+    Mi_dense = np.asarray(spd_inverse(jnp.asarray(M)))
+    Mi_blocked = np.asarray(spd_inverse_blocked(jnp.asarray(M), comps))
+    np.testing.assert_allclose(Mi_blocked, Mi_dense, rtol=1e-4, atol=1e-5)
+    B = rng.randn(n, 7).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mm_blocked(jnp.asarray(Mi_dense), jnp.asarray(B), comps)),
+        np.asarray(mm_small(jnp.asarray(Mi_dense), jnp.asarray(B))),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_dof_components_partition():
+    """dof_components covers every dof exactly once and splits composed
+    scenes by actor tree."""
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.physics.step import dof_components
+    from isaacgymenvs_tpu.utils.config import load_task_config
+    env = isaacgymenvs_tpu.make(task="FrankaCabinet", num_envs=2,
+                                cfg=load_task_config("FrankaCabinet"))
+    comps = dof_components(env.model)
+    flat = sorted(d for c in comps for d in c)
+    assert flat == list(range(env.model.nv))
+    assert sorted(len(c) for c in comps)[:3] == [4, 6, 6]  # cabinet + props
+    # single-articulation model = one component
+    ant = isaacgymenvs_tpu.make(task="Ant", num_envs=2)
+    assert len(dof_components(ant.model)) == 1

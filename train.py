@@ -34,7 +34,8 @@ def main():
     test = bool(cli.pop("test", False))
     checkpoint = cli.pop("checkpoint", None) or None
     num_envs = cli.pop("num_envs", None)
-    max_iterations = cli.pop("max_iterations", None)
+    max_iterations = cli.pop("max_iterations",
+                             cli.pop("max_epochs", None))
     experiment = cli.pop("experiment", None) or task
     multi_host = bool(cli.pop("multi_gpu", False))  # name kept for parity
 
