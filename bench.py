@@ -26,14 +26,24 @@ def bench_task(task: str, num_envs: int = 4096, chunk: int = 20,
 
     def roll(state, key):
         def body(carry, _):
-            st, k = carry
+            st, k, acc = carry
             k, ka = jax.random.split(k)
             actions = jax.random.uniform(ka, (num_envs, env.num_acts),
                                          minval=-1.0, maxval=1.0)
             st, ts = env.step(st, actions)
-            return (st, k), ts.reward[0]
-        (state, key), r = jax.lax.scan(body, (state, key), None, length=chunk)
-        return state, key, r
+            # consume EVERYTHING a training loop consumes — obs, reward,
+            # done, asymmetric states. Summing only ts.reward[0] let XLA
+            # dead-code-eliminate the obs/info pipeline (final FK,
+            # contact-force extraction): the round-3 "stepping" numbers
+            # were up to 3x the throughput any consumer could see, and
+            # train_vs_step_ratio 0.62 was mostly that artifact.
+            acc = acc + jnp.sum(ts.obs) + jnp.sum(ts.reward) \
+                + jnp.sum(ts.done) \
+                + (jnp.sum(ts.states) if ts.states is not None else 0.0)
+            return (st, k, acc), None
+        (state, key, acc), _ = jax.lax.scan(body, (state, key, 0.0), None,
+                                            length=chunk)
+        return state, key, acc
 
     roll = jax.jit(roll)
     key = jax.random.PRNGKey(1)
