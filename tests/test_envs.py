@@ -470,3 +470,31 @@ def test_safety_guard_nan_recovery(cartpole):
     # and the guard is quiescent on healthy state
     state, ts = step(state, jnp.zeros((16, 1)))
     assert float(ts.info["safety_blown"]) == 0.0
+
+
+def test_terrain_reset_respects_joint_limits():
+    """Round-4 A1 fix: sampled reset DOF positions must be clamped to
+    joint limits (PhysX clamps on set_dof_state), and the first steps
+    after reset must not catapult joints (the round-3 NaN seed was
+    beta/h * violation ~ 16 rad/s limit-row kicks at 500 Hz)."""
+    import numpy as np
+    import isaacgymenvs_tpu
+    from isaacgymenvs_tpu.utils.config import load_task_config
+
+    env = isaacgymenvs_tpu.make(task="A1Terrain", num_envs=32,
+                                cfg=load_task_config("A1Terrain"))
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    lo, hi = env.model.dof_limits()
+    d = np.asarray(state.art.q[:, 7:])
+    assert (d >= lo[6:] - 1e-5).all() and (d <= hi[6:] + 1e-5).all(), \
+        "reset sampled DOF positions outside joint limits"
+    # two steps of zero torque from spawn: no joint may exceed a few
+    # rad/s (free fall + gentle depenetration only)
+    step = jax.jit(env.step)
+    for _ in range(2):
+        state, ts = step(state, jnp.zeros((32, env.num_acts)))
+    qd = np.asarray(state.art.qd[:, 6:])
+    # gentle depenetration of a deep-spawned foot can transiently reach
+    # ~5 rad/s at the calf; the pre-fix catapult regime was 16+ rad/s
+    assert np.abs(qd).max() < 8.0, \
+        f"spawn catapult: joint velocity {np.abs(qd).max():.1f} rad/s"
