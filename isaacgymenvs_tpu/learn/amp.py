@@ -208,12 +208,18 @@ class AMP(PPO):
         value_rms = (ts.value_rms.update(returns.reshape(-1))
                      if cfg.normalize_value else ts.value_rms)
         flat_amp = batch["amp_obs"].reshape(-1, self.namp)
-        amp_rms = (ts.amp_rms.update(flat_amp)
-                   if cfg.normalize_amp_input else ts.amp_rms)
 
         # ---------------- demo + replay buffer updates ---------------------
         key, k_demo, k_keep, k_slot = jax.random.split(key, 4)
         demo_new = env.fetch_amp_obs_demo(k_demo, cfg.amp_batch_size)
+        # normalizer sees agent AND demo samples (the reference's torch
+        # RunningMeanStd updates on every train-mode _preproc_amp_obs
+        # call, amp_continuous.py — demo batches included); an
+        # agent-only mean drifts the demo cluster off-center and hands
+        # the discriminator a normalization-side separator
+        amp_rms = (ts.amp_rms.update(
+            jnp.concatenate([flat_amp, demo_new], axis=0))
+            if cfg.normalize_amp_input else ts.amp_rms)
         di = ts.demo_n % self.demo_cap
         demo_buf = jax.lax.dynamic_update_slice(
             ts.demo_buf, demo_new, (di, jnp.zeros((), jnp.int32)))
