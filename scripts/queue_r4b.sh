@@ -17,15 +17,23 @@ run() {
   echo "=== r4b: $name done rc=$? $(date +%H:%M:%S) ===" >&2
 }
 
-run shadowhand_r4 1500 python train.py task=ShadowHand \
+run shadowhand_r4 1200 python train.py task=ShadowHand \
   experiment=shadowhand_r4 seed=42 checkpoint=runs/shadowhand_r4/nn/last.ckpt
 
 rm -rf runs/ant_sac_r4
-run ant_sac_r4 1000 python train.py task=Ant train=AntSAC \
+run ant_sac_r4 800 python train.py task=Ant train=AntSAC \
   experiment=ant_sac_r4 seed=42 max_iterations=2000
 
 rm -rf runs/franka_cabinet_r4
-run franka_cabinet_r4 1100 python train.py task=FrankaCabinet \
+run franka_cabinet_r4 900 python train.py task=FrankaCabinet \
   experiment=franka_cabinet_r4 seed=42
+
+# Factory Pick at 512 envs: our sim has no PhysX 128-env SDF contact-buffer
+# cap; 4x the envs at the same per-minibatch size gives the reference's
+# ~6M-step budget inside the slot (128 envs ran 588 fps = only ~90 epochs)
+rm -rf runs/factory_pick_r4
+run factory_pick_r4 2400 python train.py task=FactoryTaskNutBoltPick \
+  experiment=factory_pick_r4 seed=42 num_envs=512 \
+  train.params.config.minibatch_size=2048
 
 echo "=== r4b complete $(date +%H:%M:%S) ===" >&2
