@@ -101,7 +101,7 @@ class VecTask:
     attractors = None     # static pin constraints (solver.Attractors)
     refresh_kin_on_reset: bool = False
     safety_guard: bool = True   # non-finite/runaway state → terminate env
-    safety_limit: float = 1e4   # |q| or |qd| beyond this = blown
+    safety_limit: float = 1e3   # |q| beyond this = blown (1 km arena)
 
     def __init__(self, cfg: Optional[dict] = None, num_envs: int = 4096):
         self.cfg = cfg or {}
@@ -216,10 +216,17 @@ class VecTask:
         # bit-stability is unaffected.
         blown = jnp.zeros(n, bool)
         if self.safety_guard:
+            # a linear velocity pinned at the PhysX-style clamp
+            # (max_linear_velocity, default 1000 m/s) is never legitimate
+            # dynamics — flag it immediately rather than letting the env
+            # rack up ~-2700/step rewards for dozens of steps until the
+            # position bound trips (observed: trifinger_r4 epoch 3)
+            vel_cap = 0.95 * float(self.sim.max_linear_velocity)
             blown = (~jnp.all(jnp.isfinite(new_art.q), -1)
                      | ~jnp.all(jnp.isfinite(new_art.qd), -1)
                      | (jnp.max(jnp.abs(new_art.q), -1) > self.safety_limit)
-                     | (jnp.max(jnp.abs(new_art.qd), -1) > self.safety_limit))
+                     | (jnp.max(jnp.abs(new_art.qd), -1)
+                        > jnp.minimum(vel_cap, self.safety_limit)))
 
             def _san(x):
                 return jnp.clip(
