@@ -17,8 +17,18 @@ run() {
   echo "=== r4b: $name done rc=$? $(date +%H:%M:%S) ===" >&2
 }
 
-run shadowhand_r4 1200 python train.py task=ShadowHand \
-  experiment=shadowhand_r4 seed=42 checkpoint=runs/shadowhand_r4/nn/last.ckpt
+# AMP hard-contact A/B: the one physics-level divergence from the PhysX
+# reference in this task is the MuJoCo-style compliant contact
+# (contact_timeconst/friction_timeconst .015). If the discriminator's
+# perfect separation feeds on soft-contact transition signatures, hard
+# ground contact moves the ep-len trajectory where disc-side knobs did
+# not. Joint-limit compliance stays (the humanoid leans on knee stops —
+# hard limits broke balance outright in the round-2 Humanoid study).
+rm -rf runs/amp_walk_hard_r4
+run amp_walk_hard_r4 1200 python train.py task=HumanoidAMP \
+  experiment=amp_walk_hard_r4 seed=42 \
+  task.env.motion_file=amp_humanoid_walk.npy max_iterations=3000 \
+  task.sim.contact_timeconst=0.0 task.sim.friction_timeconst=0.0
 
 rm -rf runs/ant_sac_r4
 run ant_sac_r4 800 python train.py task=Ant train=AntSAC \
