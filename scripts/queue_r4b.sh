@@ -42,8 +42,17 @@ run franka_cabinet_r4 900 python train.py task=FrankaCabinet \
 # cap; 4x the envs at the same per-minibatch size gives the reference's
 # ~6M-step budget inside the slot (128 envs ran 588 fps = only ~90 epochs)
 rm -rf runs/factory_pick_r4
-run factory_pick_r4 2400 python train.py task=FactoryTaskNutBoltPick \
+run factory_pick_r4 1800 python train.py task=FactoryTaskNutBoltPick \
   experiment=factory_pick_r4 seed=42 num_envs=512 \
   train.params.config.minibatch_size=2048
+
+# A1 solver-convergence A/B: r4's run still degenerates slowly
+# (rew/step 0 -> -119 over 243 epochs, ~1 env/step hitting the safety
+# guard) with 16 cold APGD iterations at 500 Hz. Double iterations +
+# warm start to test under-convergence as the energy source.
+rm -rf runs/a1_si32_r4
+run a1_si32_r4 600 python train.py task=A1Terrain \
+  experiment=a1_si32_r4 seed=42 \
+  task.sim.num_solver_iterations=32 task.sim.warmstart_solver=true
 
 echo "=== r4b complete $(date +%H:%M:%S) ===" >&2
