@@ -220,7 +220,11 @@ def test_amp_agent_learns_discriminator(tmp_path):
     # discriminator learns to separate (adversarial training oscillates,
     # so judge the tail window, not the final epoch)
     tail = np.array(accs[-6:])
-    assert tail[:, 0].mean() > 0.6 and tail[:, 1].mean() > 0.75, accs
+    # round-4 note: the demo-inclusive normalizer + FK-consistent demo
+    # obs REDUCED demo-side separability (the whole point - the old
+    # pipeline let the disc pin demo acc at 1.0); both sides must still
+    # clearly beat chance
+    assert tail[:, 0].mean() > 0.6 and tail[:, 1].mean() > 0.62, accs
     # checkpoint drops the rings, restore refills them
     p = str(tmp_path / "amp.ckpt")
     save_checkpoint(p, ts)
