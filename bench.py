@@ -102,6 +102,21 @@ def main():
     except Exception as e:
         print(f"shadowhand train bench failed: {e}", file=sys.stderr)
         sh_train = 0.0
+    # slowest tier (round-4 Weak #11: Trifinger/Factory fps invisible to
+    # BENCH_r*.json while being the binding constraint on VERDICT items
+    # 1-3): reference configs — Trifinger 16384 envs, Factory Pick at the
+    # 512-env training config used by queue_r5.
+    try:
+        tf_train = bench_train_epoch("Trifinger", num_envs=16384, iters=2)
+    except Exception as e:
+        print(f"trifinger train bench failed: {e}", file=sys.stderr)
+        tf_train = 0.0
+    try:
+        fp_train = bench_train_epoch("FactoryTaskNutBoltPick",
+                                     num_envs=512, iters=2)
+    except Exception as e:
+        print(f"factory pick train bench failed: {e}", file=sys.stderr)
+        fp_train = 0.0
     print(json.dumps({
         "metric": "ant4096_env_steps_per_sec",
         "value": round(ant),
@@ -112,6 +127,8 @@ def main():
         "ant4096_train_epoch_fps": round(ant_train),
         "train_vs_step_ratio": round(ant_train / ant, 3) if ant else 0.0,
         "shadowhand16384_train_epoch_fps": round(sh_train),
+        "trifinger16384_train_epoch_fps": round(tf_train),
+        "factory_pick512_train_epoch_fps": round(fp_train),
     }))
 
 

@@ -337,6 +337,7 @@ class AnymalTerrain(VecTask):
             if self.terrain is not None:
                 xy = jax.random.uniform(ks[2], (2,), minval=-0.5, maxval=0.5)
                 q = q.at[0:3].add(origin).at[0:2].add(xy)
+            q = self._spawn_project(q)
             qd = jnp.zeros(self.model.nv).at[6:].set(dv)
             cmd = jnp.stack([
                 jax.random.uniform(ks[3], minval=self.cmd_x[0],
@@ -363,6 +364,34 @@ class AnymalTerrain(VecTask):
             "env_origins": origins,
             "ep_sums": z((n, len(_REW_TERMS))),
         }
+
+    def _spawn_project(self, q):
+        """Momentum-free spawn depenetration — the TPU-native analogue of
+        PhysX removing set_dof_state penetrations in POSITION iterations
+        (reference A1/Anymal spawn: fixed base height x U(0.5,1.5)-scaled
+        leg angles routinely puts a near-straight leg's foot sphere up to
+        ~18 mm inside the ground). A velocity-level Baumgarte solver must
+        instead inject v = beta*depth/h through a near-singular leg —
+        measured ~19 rad/s calf velocity ONE step after reset (round-5
+        a1_diag2), the seed of the A1Terrain reward explosions. Raising
+        the base so the deepest candidate sits 1 mm clear removes the
+        penetration with zero momentum, like PhysX."""
+        from ..physics.kinematics import forward_kinematics
+        cs = build_ground_contacts(self.model)
+        p0 = self.model.default_phys_params()
+        kin = forward_kinematics(self.model, p0, q,
+                                 jnp.zeros(self.model.nv, q.dtype))
+        b = jnp.asarray(cs.body)
+        off = jnp.asarray(cs.offset, q.dtype)
+        r = jnp.asarray(cs.radius, q.dtype)
+        pts = kin.body_pos[b] + mx.quat_rotate(kin.body_quat[b], off)
+        if self.height_fn is not None:
+            ground, _ = self.height_fn(pts[:, 0], pts[:, 1])
+        else:
+            ground = 0.0
+        clearance = pts[:, 2] - r - ground
+        dz = jnp.maximum(0.0, 1e-3 - jnp.min(clearance))
+        return q.at[2].add(dz)
 
     # -------------------------------------------------------------------- obs
     def _measured_heights(self, q):

@@ -216,17 +216,28 @@ class VecTask:
         # bit-stability is unaffected.
         blown = jnp.zeros(n, bool)
         if self.safety_guard:
-            # a linear velocity pinned at the PhysX-style clamp
-            # (max_linear_velocity, default 1000 m/s) is never legitimate
-            # dynamics — flag it immediately rather than letting the env
-            # rack up ~-2700/step rewards for dozens of steps until the
-            # position bound trips (observed: trifinger_r4 epoch 3)
-            vel_cap = 0.95 * float(self.sim.max_linear_velocity)
+            # A velocity pinned at the PhysX-style clamp is only a blown
+            # signal when the clamp is the huge default (1000 m/s): then
+            # hitting 0.95×clamp is never legitimate dynamics — flag it
+            # immediately rather than letting the env rack up ~-2700/step
+            # rewards until the position bound trips (trifinger_r4 ep 3).
+            # But a scene that DECLARES a tight clamp as a stabilizer
+            # (Factory: 1 m/s + 2π rad/s, envs/factory/base.py:96, the
+            # PhysX add_damping idiom) legitimately rides the clamp — a
+            # nut in free fall passes 0.95 m/s within 0.1 s — so the
+            # per-dof rule is disabled where the configured clamp is
+            # small. Position/NaN checks still protect those dofs.
+            from ..physics.step import _vmax_np
+            import numpy as np
+            vmax = _vmax_np(self.model, self.sim.max_angular_velocity,
+                            self.sim.max_linear_velocity)
+            vel_thr = jnp.asarray(np.minimum(
+                np.where(vmax >= 100.0, 0.95 * vmax, np.inf),
+                self.safety_limit).astype(np.float32))
             blown = (~jnp.all(jnp.isfinite(new_art.q), -1)
                      | ~jnp.all(jnp.isfinite(new_art.qd), -1)
                      | (jnp.max(jnp.abs(new_art.q), -1) > self.safety_limit)
-                     | (jnp.max(jnp.abs(new_art.qd), -1)
-                        > jnp.minimum(vel_cap, self.safety_limit)))
+                     | jnp.any(jnp.abs(new_art.qd) > vel_thr, -1))
 
             def _san(x):
                 return jnp.clip(

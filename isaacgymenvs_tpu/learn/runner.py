@@ -191,13 +191,18 @@ class Runner:
             dt_epoch = time.time() - t0
             fps = steps_per_epoch / dt_epoch
             # --- tripwire: non-finite training signal → restore + LR cut --
-            watched = [float(m.get(k, 0.0)) for k in
-                       ("loss", "kl", "reward_mean_step")]
-            if not all(np.isfinite(watched)):
+            # check EVERY scalar the agent emits, not a hardcoded PPO key
+            # set: SAC emits critic_loss/actor_loss and none of
+            # loss/kl/reward_mean_step, so a fixed list can never fire
+            # for SAC runs (round-4 advisor finding)
+            bad = {k: v for k, v in m.items()
+                   if np.isscalar(v) or getattr(v, "ndim", 1) == 0
+                   if not np.all(np.isfinite(v))}
+            if bad:
                 strikes += 1
                 if self.host0:
                     print(f"TRIPWIRE epoch {e}: non-finite metrics "
-                          f"{dict(zip(('loss','kl','rew'), watched))} — "
+                          f"{ {k: float(v) for k, v in bad.items()} } — "
                           f"strike {strikes}/3, restoring epoch "
                           f"{sane_epoch}, lr cut x0.5", flush=True)
                 if strikes >= 3:
@@ -208,9 +213,12 @@ class Runner:
                     ts = sane_ts
                     break
                 import dataclasses as _dc
+                # halve the LR on sane_ts itself so successive strikes
+                # compound (0.5x, 0.25x, …) instead of re-running each
+                # retry at the same 0.5x (round-4 advisor finding)
+                if hasattr(sane_ts, "lr"):
+                    sane_ts = _dc.replace(sane_ts, lr=sane_ts.lr * 0.5)
                 ts = sane_ts
-                if hasattr(ts, "lr"):
-                    ts = _dc.replace(ts, lr=ts.lr * 0.5)
                 continue
             sane_ts, sane_epoch = ts, e
             if strikes and self.host0:

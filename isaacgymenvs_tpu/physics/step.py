@@ -64,13 +64,12 @@ def dof_components(model: T.ArticulationModel) -> tuple:
         while parent[r] >= 0:
             r = parent[r]
         root[b] = r
-    ndof = {T.FREE: 6, T.BALL: 3, T.HINGE: 1, T.SLIDE: 1}
     comps: dict = {}
     for ji in range(model.njnt):
         r = int(root[model.jnt_body[ji]])
         va = int(model.jnt_vadr[ji])
         comps.setdefault(r, []).extend(
-            range(va, va + ndof[int(model.jnt_type[ji])]))
+            range(va, va + T.JOINT_NV[int(model.jnt_type[ji])]))
     return tuple(tuple(sorted(v)) for _, v in sorted(comps.items()))
 
 

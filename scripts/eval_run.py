@@ -55,6 +55,7 @@ def main():
     finished_r, finished_l, cur_l = [], [], np.zeros(a.envs)
     traj = [] if a.traj else None
     info_last = {}
+    final_acc = {}
     for i in range(a.steps):
         if rnn:
             act, carry = runner.agent.act_deterministic_rnn(ts, obs, carry,
@@ -77,7 +78,19 @@ def main():
             cur_l[d] = 0
         for k, v in (t.info or {}).items():
             arr = np.asarray(v)
-            if arr.ndim <= 1:
+            if arr.ndim > 1:
+                continue
+            if k.startswith("final/") and arr.shape == d.shape:
+                # done-gated accumulation over the whole rollout — the
+                # direct average over envs at episode end, mirroring the
+                # learner's aggregation (learn/ppo.py) and the reference
+                # ShadowHandTest protocol (docs/rl_examples.md:166-168).
+                # Averaging over ALL envs at the last step mis-states
+                # success rates (round-4 advisor finding).
+                s, c = final_acc.get(k, (0.0, 0.0))
+                final_acc[k] = (s + float(np.sum(arr * d)),
+                                c + float(np.sum(d)))
+            else:
                 info_last[k] = float(np.mean(arr))
     out = {
         "run": a.run, "ckpt": a.ckpt, "meta": {k: float(v) if
@@ -89,7 +102,12 @@ def main():
         else None,
         "mean_episode_length": float(np.mean(finished_l)) if finished_l
         else None,
-        "task_metrics_final": info_last,
+        "task_metrics_final": {
+            **info_last,
+            **{k: (s / c if c else None)
+               for k, (s, c) in final_acc.items()},
+        },
+        "final_episode_counts": {k: c for k, (s, c) in final_acc.items()},
     }
     print(json.dumps(out, indent=1))
     if traj:
