@@ -460,7 +460,13 @@ class ShadowHand(VecTask):
             + (1.0 - self.av_factor) * cons_prev,
             cons_prev)
 
-        info_out = {"consecutive_successes": cons}
+        # direct average over finished envs (reference ShadowHandTest
+        # prints exactly this, docs/rl_examples.md:166-168): eval_run.py
+        # accumulates final/ channels done-gated, so this reports
+        # sum(successes at episode end)/num finished episodes with no
+        # EMA warm-up bias (round-4 Weak #7)
+        info_out = {"consecutive_successes": cons,
+                    "final/successes": successes}
         aux_up = {"successes": successes, "goal_reset": goal_resets,
                   "consecutive_successes":
                   jnp.broadcast_to(cons, successes.shape)}
