@@ -158,29 +158,35 @@ class FactoryTaskNutBoltPick(FactoryEnvNutBolt):
         if self.close_and_lift:
             is_last = (state.progress[0] + 1) \
                 >= self.max_episode_length - 1
-            out = jax.lax.cond(
-                is_last,
-                lambda o: self._close_and_lift(o, state.params),
-                lambda o: o, out)
+            out = self._close_and_lift(out, state.params, is_last)
         return out
 
-    def _close_and_lift(self, out, params):
+    def _close_and_lift(self, out, params, is_last):
         """Open-loop grasp + lift tail (`_close_gripper`/`_lift_gripper`,
-        factory_task_nut_bolt_pick.py:345-366)."""
+        factory_task_nut_bolt_pick.py:345-366).
+
+        Trip counts are DYNAMIC (0 off-boundary) via `lax.fori_loop`, not
+        a `lax.cond` over fixed-length scans: inside the epoch rollout
+        scan, XLA:TPU executed BOTH cond branches every step, making each
+        of the 120 steps pay the ~50-physics-step tail — measured 600 fps
+        at 128/256/512 envs alike vs Screw's 38K fps on the same scene
+        (round-5; a CPU boundary-step A/B measured the tail at 60x a
+        regular step). A while-form loop with a data-dependent bound can
+        never be select-converted, so off-boundary steps cost one loop
+        test."""
         art, info = out
         in_axes = (0, 0 if self._params_batched() else None)
+        n_close = jnp.where(is_last, self.num_gripper_close_steps, 0)
+        n_lift = jnp.where(is_last, self.num_gripper_lift_steps, 0)
 
         def close_one(art, params):
             from ...physics.kinematics import forward_kinematics
             kin = forward_kinematics(self.model, params, art.q, art.qd)
             ft_pos, ft_quat, _, _ = self._fingertip_state(kin)
 
-            def body(a, _):
-                return self._sim_one(a, params, ft_pos, ft_quat, 0.0)[0], \
-                    None
-            a, _ = jax.lax.scan(body, art, None,
-                                length=self.num_gripper_close_steps)
-            return a
+            def body(_, a):
+                return self._sim_one(a, params, ft_pos, ft_quat, 0.0)[0]
+            return jax.lax.fori_loop(0, n_close, body, art)
 
         def lift_one(art, params):
             # FIXED lift target = start pose + 0.3 z, held for the whole
@@ -196,11 +202,9 @@ class FactoryTaskNutBoltPick(FactoryEnvNutBolt):
             ft_pos, ft_quat, _, _ = self._fingertip_state(kin)
             tgt = ft_pos + jnp.array([0.0, 0.0, 0.3])
 
-            def body(a, _):
-                return self._sim_one(a, params, tgt, ft_quat, 0.0)
-            a, _ = jax.lax.scan(body, art, None,
-                                length=self.num_gripper_lift_steps)
-            return a
+            def body(_, a):
+                return self._sim_one(a, params, tgt, ft_quat, 0.0)[0]
+            return jax.lax.fori_loop(0, n_lift, body, art)
 
         art = jax.vmap(close_one, in_axes=in_axes)(art, params)
         art = jax.vmap(lift_one, in_axes=in_axes)(art, params)

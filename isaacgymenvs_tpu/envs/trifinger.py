@@ -202,6 +202,13 @@ class Trifinger(VecTask):
                     # the table body sits at z=-0.01; the boundary mesh
                     # is authored about z=0
                     "grid_pos": (0.0, 0.0, 0.01),
+                    # 2 CCD taps, not the factory default 16: the cube
+                    # moves ≤ ~5 mm per substep (1 m/s clamp x 5 ms) —
+                    # one grid spacing — so thread-crest-style tunneling
+                    # cannot happen at the 30 mm wall; 16 taps were pure
+                    # gather traffic (TPU SDF gathers dominate this
+                    # scene's step)
+                    "sweep": 2,
                 }])
         except (RuntimeError, FileNotFoundError) as e:
             warnings.warn(f"arena boundary SDF unavailable ({e}); "

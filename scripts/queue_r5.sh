@@ -44,7 +44,7 @@ run factory_place_r5 1800 python train.py task=FactoryTaskNutBoltPlace \
   train.params.config.minibatch_size=1024
 
 rm -rf runs/shadowhand_ff_r5
-run shadowhand_ff_r5 9600 python train.py task=ShadowHandOpenAI_FF \
+run shadowhand_ff_r5 7200 python train.py task=ShadowHandOpenAI_FF \
   experiment=shadowhand_ff_r5 seed=42 max_iterations=5000
 
 rm -rf runs/a1terrain_r5
@@ -52,10 +52,23 @@ run a1terrain_r5 1500 python train.py task=A1Terrain \
   experiment=a1terrain_r5 seed=42
 
 rm -rf runs/amp_walk_r5
-run amp_walk_r5 2200 python train.py task=HumanoidAMP \
+run amp_walk_r5 1500 python train.py task=HumanoidAMP \
   experiment=amp_walk_r5 seed=42 \
   task.env.motion_file=amp_humanoid_walk.npy max_iterations=6000 \
   task.sim.contact_timeconst=0.0 task.sim.friction_timeconst=0.0 \
   checkpoint=runs/amp_walk_hard_r4/nn/best.ckpt
 
 echo "=== r5 queue complete $(date +%H:%M:%S) ===" >&2
+
+# appended (item 7 loose bars): first FrankaCabinet drawer-open attempt at
+# a real epoch budget (9.5K fps x 1500s ~ 870 epochs) + first-ever
+# FrankaCubeStack curve
+rm -rf runs/franka_cabinet_r5
+run franka_cabinet_r5 1500 python train.py task=FrankaCabinet \
+  experiment=franka_cabinet_r5 seed=42
+
+rm -rf runs/franka_cube_r5
+run franka_cube_r5 1200 python train.py task=FrankaCubeStack \
+  experiment=franka_cube_r5 seed=42
+
+echo "=== r5 queue appendix complete $(date +%H:%M:%S) ===" >&2
