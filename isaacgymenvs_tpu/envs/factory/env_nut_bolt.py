@@ -80,6 +80,7 @@ class FactoryEnvNutBolt(FactoryBase):
         # falls back to primitives when only AABB-stub meshes are
         # available and no vendored grid cache exists.
         self.sdf_contact = env_cfg.get("sdf_contact", False)
+        self.sdf_sweep = int(env_cfg.get("sdf_sweep", 16))
         self.sdf_samples = int(env_cfg.get("sdf_samples", 256))
         super().__init__(cfg, num_envs)
 
@@ -241,6 +242,15 @@ class FactoryEnvNutBolt(FactoryBase):
                 "body_b": self.bolt_body, "geom_b": bolt_geom,
                 "mesh_b": bolt_mesh,
                 "npts": self.sdf_samples,
+                # CCD taps per substep along each sample's path.
+                # 16 (default) resolves thread crests under free-fall
+                # (the drop test's regime); Pick/Place set 4 in their
+                # task yamls — their nut is table-spawned and grasped,
+                # relative nut-bolt speeds are small, and the sweep is
+                # the dominant per-substep gather cost (measured: Screw,
+                # whose thread is a joint and runs no SDF narrowphase,
+                # does 38K fps where Place does 1.1K on the same scene)
+                "sweep": self.sdf_sweep,
                 "spacing": spacing,
                 "crop_lo": (-crop_r, -crop_r, -np.inf),
                 "crop_hi": (crop_r, crop_r, np.inf),

@@ -121,6 +121,10 @@ def test_nut_bolt_sdf_drop_catches_on_threads():
 
     c = load_task_config("FactoryTaskNutBoltPick")
     c.setdefault("env", {})["sdf_contact"] = True
+    # free-fall CCD regime: this test drops the nut at up to ~1.5 m/s
+    # (12 mm/substep vs 0.5 mm thread crests) — needs the full 16-tap
+    # sweep; the Pick TASK runs sweep 4 (table-spawned, grasped nut)
+    c["env"]["sdf_sweep"] = 16
     env = isaacgymenvs_tpu.make(task="FactoryTaskNutBoltPick",
                                 num_envs=2, cfg=c)
     assert env.pair_contacts.sdf_body is not None
