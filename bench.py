@@ -112,8 +112,10 @@ def main():
         print(f"trifinger train bench failed: {e}", file=sys.stderr)
         tf_train = 0.0
     try:
+        # 256, not 512: the 512-env factory graph exceeds the tunneled
+        # remote-compile service's limits (round-5 postmortem)
         fp_train = bench_train_epoch("FactoryTaskNutBoltPick",
-                                     num_envs=512, iters=2)
+                                     num_envs=256, iters=2)
     except Exception as e:
         print(f"factory pick train bench failed: {e}", file=sys.stderr)
         fp_train = 0.0
@@ -128,7 +130,7 @@ def main():
         "train_vs_step_ratio": round(ant_train / ant, 3) if ant else 0.0,
         "shadowhand16384_train_epoch_fps": round(sh_train),
         "trifinger16384_train_epoch_fps": round(tf_train),
-        "factory_pick512_train_epoch_fps": round(fp_train),
+        "factory_pick256_train_epoch_fps": round(fp_train),
     }))
 
 

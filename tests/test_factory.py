@@ -139,7 +139,7 @@ def test_pick_grasp_and_lift(pick_env):
 
     q = jax.vmap(to_grasp)(state.art.q)
     art = dataclasses.replace(state.art, q=q)
-    art2, _ = env._close_and_lift((art, 0.0), params)
+    art2, _ = env._close_and_lift((art, 0.0), params, True)
     lifted = jax.vmap(env._lift_success)(art2.q)
     assert not bool(jnp.isnan(art2.q).any())
     # seed 3 env 0 has a reachable grasp (IK residual < 1e-6)
